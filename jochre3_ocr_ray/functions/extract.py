@@ -1,0 +1,239 @@
+"""Per-turn extraction: the full layered pipeline as one pure function.
+
+Composes the stage chain that jochre3-ocr runs per page
+(``modules/core/src/main/scala/.../Jochre.scala:303-420``,
+``processMatInternal``): normalize -> segment -> tokenize + rewrite
+rules -> lexicon-scored confidence -> cross-line hyphenation ->
+render raw + processed text. ``extract_turn`` is both the test oracle
+and the kernel the Ray actor stage applies per batch — per-turn text
+equality holds by construction and the pytest suite verifies the
+Ray plumbing preserves it row-for-row.
+
+Output contract (FIXTURES.md §2):
+
+* ``extracted_text`` — raw content: blocks joined ``"\\n\\n"``, lines
+  joined ``"\\n"`` (``Page.scala:156-160``; ``OutputFormat.Text``).
+* ``processed_text`` — dehyphenated: per block, line breaks become
+  spaces and HypPart1/HypPart2 pairs are replaced by
+  ``subs_content`` with the next line's first word consumed; blocks
+  joined ``"\\n"`` (``TextBlock.scala:94-124`` fold;
+  ``Page.scala:162-166``).
+* ``blocks`` — nested block/line/word structure; every span indexes
+  into ``extracted_text`` and satisfies
+  ``extracted_text[start:end] == word.text``.
+* word ``confidence`` — lexicon rescoring classes (known 1.0,
+  unknown 0.5, impossible 0.01; ``FullSegmentationGuesser.scala:
+  208-220``); hyphen-pair words are scored jointly on their merged
+  form (``FullSegmentationGuesser.scala:468-555``). Turn confidence
+  = geometric mean of word confidences (``Guess.score`` analog,
+  ``FullSegmentationGuesser.scala:106-109``).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+from .lexicon import FREQ_KNOWN, Lexicon
+from .normalize import simplify
+from .rules import is_rtl_line, reverse_digit_runs, split_punctuation
+from .segmenter import segment
+
+HYP_PART1 = "HypPart1"
+HYP_PART2 = "HypPart2"
+
+_TRAILING_HYPHEN = re.compile(r"\w-$", re.UNICODE)
+_LEADING_WORD_CHAR = re.compile(r"^\w", re.UNICODE)
+_PUNCT_ONLY = re.compile(r"[^\w]+$", re.UNICODE)
+
+
+@dataclass
+class _Word:
+    text: str
+    sep: bool  # preceded by a space within its line
+    confidence: float = 1.0
+    subs_type: str = ""
+    subs_content: str = ""
+    start: int = 0
+    end: int = 0
+
+
+@dataclass
+class _Line:
+    words: list[_Word] = field(default_factory=list)
+    start: int = 0
+    end: int = 0
+
+
+def _tokenize_line(line_text: str) -> list[_Word]:
+    rtl = is_rtl_line(line_text)
+    words: list[_Word] = []
+    for token in line_text.split(" "):
+        if not token:
+            continue
+        pieces = split_punctuation(token)
+        for k, piece in enumerate(pieces):
+            if rtl:
+                piece = reverse_digit_runs(piece)
+            words.append(_Word(text=piece, sep=(k == 0 and bool(words))))
+    return words
+
+
+def _resolve_hyphenation(lines: list[_Line], lex: Lexicon) -> None:
+    """Cross-line hyphen pairs: decide merged form, set subs fields."""
+    for i in range(len(lines) - 1):
+        cur, nxt = lines[i], lines[i + 1]
+        if not cur.words or not nxt.words:
+            continue
+        last, first = cur.words[-1], nxt.words[0]
+        if not _TRAILING_HYPHEN.search(last.text):
+            continue
+        if not _LEADING_WORD_CHAR.search(first.text):
+            continue
+        w1, w2 = last.text[:-1], first.text
+        joined = w1 + w2
+        if lex.get_frequency(joined) >= FREQ_KNOWN:
+            subs = joined  # merged form is a real word: drop hyphen
+        elif (
+            lex.get_frequency(w1) >= FREQ_KNOWN
+            and lex.get_frequency(w2) >= FREQ_KNOWN
+        ):
+            subs = w1 + "-" + w2  # compound of two known words: keep hyphen
+        else:
+            subs = joined  # default: drop the line-break hyphen
+        last.subs_type, last.subs_content = HYP_PART1, subs
+        first.subs_type, first.subs_content = HYP_PART2, subs
+
+
+def _score_words(lines: list[_Line], lex: Lexicon) -> None:
+    for line in lines:
+        for w in line.words:
+            if _PUNCT_ONLY.fullmatch(w.text):
+                w.confidence = 1.0
+            elif w.subs_type:
+                # hyphen pair scored jointly on the merged form
+                w.confidence = lex.confidence(w.subs_content)
+            else:
+                w.confidence = lex.confidence(w.text)
+
+
+def _render_block_raw(lines: list[_Line], offset: int) -> tuple[str, int]:
+    """Assign spans and return (block_text, new_offset).
+
+    ``offset`` is the char position of the block start within
+    ``extracted_text``.
+    """
+    line_texts = []
+    pos = offset
+    for li, line in enumerate(lines):
+        if li > 0:
+            pos += 1  # "\n"
+        line.start = pos
+        parts = []
+        for w in line.words:
+            if w.sep:
+                pos += 1
+                parts.append(" ")
+            w.start = pos
+            pos += len(w.text)
+            w.end = pos
+            parts.append(w.text)
+        line.end = pos
+        line_texts.append("".join(parts))
+    return "\n".join(line_texts), pos
+
+
+def _render_block_processed(lines: list[_Line]) -> str:
+    units: list[tuple[str, bool]] = []
+    skip_first = False
+    for li, line in enumerate(lines):
+        ws = [(w.text, w.sep) for w in line.words]
+        if ws and li > 0:
+            ws[0] = (ws[0][0], True)  # line break -> joining space
+        if skip_first and ws:
+            ws = ws[1:]  # HypPart2 consumed (+ its following space)
+            skip_first = False
+        if (
+            line.words
+            and li < len(lines) - 1
+            and line.words[-1].subs_type == HYP_PART1
+        ):
+            ws[-1] = (line.words[-1].subs_content, ws[-1][1])
+            skip_first = True
+        units.extend(ws)
+    out = []
+    for k, (text, sep) in enumerate(units):
+        if sep and k > 0:
+            out.append(" ")
+        out.append(text)
+    return "".join(out)
+
+
+def extract_turn(text: str, turn_idx: int, lex: Lexicon) -> dict:
+    """Run the full extraction chain on one turn payload."""
+    normalized = simplify(text or "")
+    seg_blocks = segment(normalized)
+
+    blocks_out = []
+    raw_parts: list[str] = []
+    processed_parts: list[str] = []
+    offset = 0
+    log_conf_sum = 0.0
+    n_words = 0
+    n_lines = 0
+
+    for bi, sblock in enumerate(seg_blocks):
+        lines = [_Line(words=_tokenize_line(lt)) for lt in sblock.lines]
+        lines = [l for l in lines if l.words]
+        if not lines:
+            continue
+        _resolve_hyphenation(lines, lex)
+        _score_words(lines, lex)
+        if raw_parts:
+            offset += 2  # "\n\n" between blocks
+        block_start = offset
+        block_text, offset = _render_block_raw(lines, offset)
+        raw_parts.append(block_text)
+        processed_parts.append(_render_block_processed(lines))
+
+        block_id = f"TB_{turn_idx % 100000:05d}_{bi:03d}_000"
+        blocks_out.append(
+            {
+                "id": block_id,
+                "kind": sblock.kind,
+                "span": {"start": block_start, "end": offset},
+                "lines": [
+                    {
+                        "span": {"start": l.start, "end": l.end},
+                        "words": [
+                            {
+                                "text": w.text,
+                                "span": {"start": w.start, "end": w.end},
+                                "confidence": w.confidence,
+                                "subs_type": w.subs_type,
+                                "subs_content": w.subs_content,
+                            }
+                            for w in l.words
+                        ],
+                    }
+                    for l in lines
+                ],
+            }
+        )
+        for l in lines:
+            n_lines += 1
+            for w in l.words:
+                n_words += 1
+                log_conf_sum += math.log(w.confidence)
+
+    confidence = math.exp(log_conf_sum / n_words) if n_words else 1.0
+    return {
+        "extracted_text": "\n\n".join(raw_parts),
+        "processed_text": "\n".join(processed_parts),
+        "blocks": blocks_out,
+        "confidence": confidence,
+        "n_blocks": len(blocks_out),
+        "n_lines": n_lines,
+        "n_words": n_words,
+    }

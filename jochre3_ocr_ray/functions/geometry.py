@@ -1,0 +1,158 @@
+"""Geometry: rectangles, reading-order sort, overlap resolution.
+
+Ports the *semantics* (not the code) of jochre3-ocr's geometric core:
+
+* ``Rectangle`` — reference ``modules/core/src/main/scala/.../graphics/
+  Rectangle.scala:8-57`` (left/top/width/height, intersection/union/
+  percentage-intersection).
+* ``BlockSorter`` reading-order comparator — reference
+  ``graphics/BlockSorter.scala:37-139``: top-down when the blocks
+  horizontally overlap or are separated by a vertical break;
+  direction-aware (RTL right-to-left) when they only vertically
+  overlap; top-down otherwise. The reference comparator is
+  non-transitive and falls back to ``failSafeCompare`` when the JDK
+  sort throws (``Rectangle.scala:114-120``); Python's sort never
+  throws, so we detect an inconsistent result explicitly and apply the
+  same failsafe (top, left) key — deterministic either way.
+* Overlap removal — reference ``FullYoloSegmenter.scala:993-1028``
+  (ordered NMS, >25% mutual overlap keeps the higher-confidence,
+  first-wins on ties via argMaxFirst ``MathUtils.scala:28-34``) and
+  ``removeOverlapsUnordered`` (``FullYoloSegmenter.scala:1030-1276``):
+  pairs overlapping >20% are **merged** (union rectangle,
+  geometric-mean confidence) when both confidences >= 0.5, else the
+  lower-confidence member is removed.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import cmp_to_key
+
+
+@dataclass(frozen=True)
+class Rectangle:
+    left: int
+    top: int
+    width: int
+    height: int
+
+    @property
+    def right(self) -> int:
+        return self.left + self.width
+
+    @property
+    def bottom(self) -> int:
+        return self.top + self.height
+
+    @property
+    def area(self) -> int:
+        return self.width * self.height
+
+    def intersection(self, other: "Rectangle") -> "Rectangle | None":
+        left = max(self.left, other.left)
+        top = max(self.top, other.top)
+        right = min(self.right, other.right)
+        bottom = min(self.bottom, other.bottom)
+        if right <= left or bottom <= top:
+            return None
+        return Rectangle(left, top, right - left, bottom - top)
+
+    def union(self, other: "Rectangle") -> "Rectangle":
+        left = min(self.left, other.left)
+        top = min(self.top, other.top)
+        right = max(self.right, other.right)
+        bottom = max(self.bottom, other.bottom)
+        return Rectangle(left, top, right - left, bottom - top)
+
+    def percentage_intersection(self, other: "Rectangle") -> float:
+        """Intersection area as a fraction of **this** rectangle's area."""
+        inter = self.intersection(other)
+        if inter is None or self.area == 0:
+            return 0.0
+        return inter.area / self.area
+
+    def horizontal_overlap(self, other: "Rectangle") -> int:
+        return max(0, min(self.right, other.right) - max(self.left, other.left))
+
+    def vertical_overlap(self, other: "Rectangle") -> int:
+        return max(0, min(self.bottom, other.bottom) - max(self.top, other.top))
+
+
+def _reading_order_cmp(a: Rectangle, b: Rectangle, rtl: bool) -> int:
+    h_overlap = a.horizontal_overlap(b)
+    min_width = max(1, min(a.width, b.width))
+    v_gap = a.bottom <= b.top or b.bottom <= a.top
+    if h_overlap / min_width >= 0.2 or v_gap:
+        # top-down
+        if a.top != b.top:
+            return a.top - b.top
+        return a.left - b.left
+    if a.vertical_overlap(b) > 0:
+        # same band: read in text direction
+        if a.left != b.left:
+            return (b.left - a.left) if rtl else (a.left - b.left)
+        return a.top - b.top
+    if a.top != b.top:
+        return a.top - b.top
+    return a.left - b.left
+
+
+def sort_reading_order(items: list, rect_of, rtl: bool = False) -> list:
+    """Sort ``items`` into reading order by their rectangles.
+
+    ``rect_of(item) -> Rectangle``. Applies the failsafe (top, left)
+    key when the comparator produced an inconsistent adjacent pair
+    (the analog of the reference's caught ``IllegalArgumentException``).
+    """
+    key = cmp_to_key(lambda x, y: _reading_order_cmp(rect_of(x), rect_of(y), rtl))
+    out = sorted(items, key=key)
+    for prev, cur in zip(out, out[1:]):
+        if _reading_order_cmp(rect_of(prev), rect_of(cur), rtl) > 0:
+            return sorted(
+                items,
+                key=lambda it: (rect_of(it).top, rect_of(it).left,
+                                rect_of(it).width, rect_of(it).height),
+            )
+    return out
+
+
+def remove_overlaps_unordered(
+    blocks: list[tuple[Rectangle, float, object]],
+    overlap_threshold: float = 0.2,
+    retain_threshold: float = 0.5,
+    merge_payload=lambda a, b: (a, b),
+) -> list[tuple[Rectangle, float, object]]:
+    """Resolve overlapping candidate blocks.
+
+    Input/output: ``(rect, confidence, payload)`` triples in document
+    order. Overlap > ``overlap_threshold`` (fraction of the smaller
+    rect): merge into the union rect with geometric-mean confidence
+    when BOTH confidences >= ``retain_threshold`` (payloads joined in
+    document order), else drop the lower-confidence member
+    (first-wins on ties).
+    """
+    items = list(blocks)
+    changed = True
+    while changed:
+        changed = False
+        n = len(items)
+        for i in range(n):
+            for j in range(i + 1, n):
+                ri, ci, pi = items[i]
+                rj, cj, pj = items[j]
+                smaller = ri if ri.area <= rj.area else rj
+                other = rj if smaller is ri else ri
+                if smaller.percentage_intersection(other) <= overlap_threshold:
+                    continue
+                if ci >= retain_threshold and cj >= retain_threshold:
+                    merged = (ri.union(rj), math.sqrt(ci * cj), merge_payload(pi, pj))
+                    items = items[:i] + [merged] + items[i + 1:j] + items[j + 1:]
+                else:
+                    drop = j if cj < ci or (cj == ci and j > i) else i
+                    items = items[:drop] + items[drop + 1:]
+                changed = True
+                break
+            if changed:
+                break
+    return items
