@@ -1,0 +1,172 @@
+"""The flagship extraction pipeline (the ``JochreYiddishFull`` analog).
+
+Dataflow (reference lifecycle ``Jochre.scala:303-420`` re-expressed
+Ray-Data-first, SURVEY.md §3):
+
+    read_parquet(transcripts)
+      -> map_batches(ExtractTurns actor pool)       # per-turn, row-local
+      -> write_parquet(out/shard=K/)                # resumable, lineage
+    read_parquet(extraction output)
+      -> salted groupby(conv_id) two-phase assembly # the one shuffle
+      -> write_parquet(conversations/)
+
+Extraction is resumable at input-shard granularity: input files are
+grouped into shards, each shard is an independent streaming run whose
+output directory is committed atomically with a lineage manifest
+(state/lineage.py). At 100 TB each shard is a file group of bounded
+size and shards can be dispatched as separate ``ray job submit`` runs;
+here they run sequentially in-process, each using the whole local
+cluster.
+
+Nothing in this module calls ``ray.init`` — the caller owns the
+session (driver contract).
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+
+import ray.data
+
+from ..stages.assemble import assemble_conversations
+from ..stages.extract import ExtractTurns
+from ..state.lineage import LineageLog
+
+
+def _input_files(input_dir: str | Path) -> list[str]:
+    files = sorted(str(p) for p in Path(input_dir).glob("*.parquet"))
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_dir}")
+    return files
+
+
+def _shard_groups(files: list[str], num_shards: int) -> list[list[str]]:
+    num_shards = max(1, min(num_shards, len(files)))
+    per = (len(files) + num_shards - 1) // num_shards
+    return [files[i : i + per] for i in range(0, len(files), per)]
+
+
+def build_extraction(
+    ds: "ray.data.Dataset",
+    *,
+    include_blocks: bool = True,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+) -> "ray.data.Dataset":
+    """Attach the extraction stage to an input Dataset (lazy)."""
+    return ds.map_batches(
+        ExtractTurns,
+        fn_constructor_kwargs={"include_blocks": include_blocks},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
+def run_extraction(
+    input_dir: str | Path,
+    out_dir: str | Path,
+    *,
+    num_shards: int = 8,
+    resume: bool = True,
+    include_blocks: bool = True,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+) -> dict:
+    """Resumable shard-at-a-time extraction run. Returns run metrics."""
+    files = _input_files(input_dir)
+    shards = _shard_groups(files, num_shards)
+    log = LineageLog(out_dir)
+    total_rows = 0
+    skipped = 0
+    t0 = time.perf_counter()
+    for i, shard_files in enumerate(shards):
+        shard_id = f"{i:05d}"
+        if resume and log.is_complete(shard_id):
+            skipped += 1
+            continue
+        t_shard = time.perf_counter()
+        tmp = log.begin_shard(shard_id)
+        ds = ray.data.read_parquet(shard_files)
+        out = build_extraction(
+            ds,
+            include_blocks=include_blocks,
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        out.write_parquet(str(tmp))
+        rows = sum(
+            f.metadata.num_rows
+            for f in map(_parquet_file, sorted(tmp.glob("*.parquet")))
+        )
+        log.commit_shard(
+            shard_id,
+            tmp,
+            inputs=shard_files,
+            rows_in=rows,
+            rows_out=rows,
+            wall_sec=time.perf_counter() - t_shard,
+        )
+        total_rows += rows
+    return {
+        "shards": len(shards),
+        "skipped_shards": skipped,
+        "rows": total_rows,
+        "wall_sec": time.perf_counter() - t0,
+    }
+
+
+def _parquet_file(path: Path):
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path)
+
+
+def read_extraction(out_dir: str | Path) -> "ray.data.Dataset":
+    """Read back the per-turn extraction output (all completed shards)."""
+    log = LineageLog(out_dir)
+    files = [
+        str(f)
+        for s in log.completed_shards()
+        for f in sorted(log.shard_output_dir(s).glob("*.parquet"))
+    ]
+    if not files:
+        raise FileNotFoundError(f"no completed shards under {out_dir}")
+    return ray.data.read_parquet(files)
+
+
+def run_assembly(extraction_dir: str | Path, out_dir: str | Path) -> dict:
+    """Second stage: per-conversation documents (the one shuffle)."""
+    t0 = time.perf_counter()
+    extracted = read_extraction(extraction_dir)
+    conversations = assemble_conversations(extracted)
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    conversations.write_parquet(str(out_dir))
+    return {"wall_sec": time.perf_counter() - t0}
+
+
+def run_pipeline(
+    input_dir: str | Path,
+    work_dir: str | Path,
+    *,
+    num_shards: int = 8,
+    resume: bool = True,
+    include_blocks: bool = True,
+    batch_size: int = 256,
+    concurrency=(2, 8),
+) -> dict:
+    """End-to-end: extraction + conversation assembly."""
+    work = Path(work_dir)
+    m1 = run_extraction(
+        input_dir,
+        work / "turns",
+        num_shards=num_shards,
+        resume=resume,
+        include_blocks=include_blocks,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+    m2 = run_assembly(work / "turns", work / "conversations")
+    return {"extraction": m1, "assembly": m2}

@@ -1,0 +1,89 @@
+"""Arrow schemas — declared once, validated/emitted by every stage.
+
+The reference's fixed case-class schema (``Alto``/``Page``/``TextBlock``
+tree, ``modules/core/src/main/scala/.../model/*.scala``) maps to
+explicit ``pyarrow`` types: one input row per transcript turn, one
+output row per extracted turn with the block/line/word hierarchy as
+nested list<struct> columns (never Python object dtype — nested
+columns stay in ``batch_format="pyarrow"`` end to end).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---- input: one row = one transcript turn (BASELINE.json input_hint)
+TRANSCRIPT_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("text", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+    ]
+)
+
+# ---- nested extraction structure (FIXTURES.md §2; ALTO-tree analog)
+SPAN_TYPE = pa.struct([pa.field("start", pa.int64()), pa.field("end", pa.int64())])
+
+WORD_TYPE = pa.struct(
+    [
+        pa.field("text", pa.string()),
+        pa.field("span", SPAN_TYPE),
+        pa.field("confidence", pa.float32()),
+        pa.field("subs_type", pa.string()),
+        pa.field("subs_content", pa.string()),
+    ]
+)
+
+LINE_TYPE = pa.struct(
+    [
+        pa.field("span", SPAN_TYPE),
+        pa.field("words", pa.list_(WORD_TYPE)),
+    ]
+)
+
+BLOCK_TYPE = pa.struct(
+    [
+        pa.field("id", pa.string()),
+        pa.field("kind", pa.string()),
+        pa.field("span", SPAN_TYPE),
+        pa.field("lines", pa.list_(LINE_TYPE)),
+    ]
+)
+
+BLOCKS_TYPE = pa.list_(BLOCK_TYPE)
+
+# ---- output: one row per extracted turn
+EXTRACTION_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int32()),
+        pa.field("role", pa.string()),
+        pa.field("tool", pa.string()),
+        pa.field("ts", pa.timestamp("us")),
+        pa.field("extracted_text", pa.string()),
+        pa.field("processed_text", pa.string()),
+        pa.field("blocks", BLOCKS_TYPE),
+        pa.field("confidence", pa.float64()),
+        pa.field("n_blocks", pa.int32()),
+        pa.field("n_lines", pa.int32()),
+        pa.field("n_words", pa.int32()),
+        pa.field("pipeline_version", pa.string()),
+    ]
+)
+
+# ---- per-conversation assembled document (Alto.content analog)
+CONVERSATION_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("n_turns", pa.int32()),
+        pa.field("n_words", pa.int64()),
+        pa.field("conversation_text", pa.string()),
+        pa.field("processed_conversation_text", pa.string()),
+        pa.field("confidence", pa.float64()),
+    ]
+)
+
+PIPELINE_VERSION = "jochre3-ocr-ray/0.1.0"

@@ -1,0 +1,83 @@
+"""Ray Data extraction stage — the actor-pool ``map_batches`` kernel.
+
+The analog of jochre3-ocr's per-page model stack (``YoloPredictor`` +
+``GlyphGuesser`` + ``Lexicon`` singletons built once by the ZLayer DI
+graph, reference ``modules/yiddish/.../JochreYiddishFull.scala:34-99``):
+state (lexicon set, compiled regex tables) is constructed ONCE per
+actor in ``__init__``; ``__call__`` processes one zero-copy Arrow
+batch of turns and emits the nested extraction schema.
+
+Usage::
+
+    ds.map_batches(ExtractTurns, batch_format="pyarrow",
+                   batch_size=512, concurrency=(2, 8), num_cpus=1)
+
+``extract_turns_batch`` is the stateless-task variant (process-global
+lexicon): same semantics, no actor-pool startup cost — appropriate
+because this particular stage's state is a wordlist, not a model.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.extract import extract_turn
+from ..functions.lexicon import Lexicon
+from ..schema import BLOCKS_TYPE, PIPELINE_VERSION
+
+
+def _apply(batch: pa.Table, lexicon: Lexicon, include_blocks: bool) -> pa.Table:
+    texts = batch.column("text").to_pylist()
+    turn_idxs = batch.column("turn_idx").to_pylist()
+    results = [
+        extract_turn(text, idx, lexicon) for text, idx in zip(texts, turn_idxs)
+    ]
+
+    columns: dict[str, pa.Array] = {
+        "conv_id": batch.column("conv_id"),
+        "turn_idx": batch.column("turn_idx"),
+        "role": batch.column("role"),
+        "tool": batch.column("tool"),
+        "ts": batch.column("ts"),
+        "extracted_text": pa.array(
+            [r["extracted_text"] for r in results], type=pa.string()
+        ),
+        "processed_text": pa.array(
+            [r["processed_text"] for r in results], type=pa.string()
+        ),
+    }
+    if include_blocks:
+        columns["blocks"] = pa.array([r["blocks"] for r in results], type=BLOCKS_TYPE)
+    columns["confidence"] = pa.array(
+        np.array([r["confidence"] for r in results], dtype=np.float64)
+    )
+    for key in ("n_blocks", "n_lines", "n_words"):
+        columns[key] = pa.array(np.array([r[key] for r in results], dtype=np.int32))
+    columns["pipeline_version"] = pa.array(
+        [PIPELINE_VERSION] * len(results), type=pa.string()
+    )
+    return pa.table(columns)
+
+
+class ExtractTurns:
+    """Callable-class stage: layered extraction over a turn batch."""
+
+    def __init__(self, lexicon_path: str | None = None, include_blocks: bool = True):
+        # once per actor: lexicon load + (module-level) regex compilation
+        self.lexicon = Lexicon.load(lexicon_path)
+        self.include_blocks = include_blocks
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return _apply(batch, self.lexicon, self.include_blocks)
+
+
+_PROCESS_LEXICON: Lexicon | None = None
+
+
+def extract_turns_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant (same semantics as ``ExtractTurns``)."""
+    global _PROCESS_LEXICON
+    if _PROCESS_LEXICON is None:
+        _PROCESS_LEXICON = Lexicon.load()
+    return _apply(batch, _PROCESS_LEXICON, True)
