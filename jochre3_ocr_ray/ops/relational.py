@@ -1,0 +1,354 @@
+"""Relational operator coverage over the TPC-H-ish testdata tables.
+
+These queries exercise the engine's wide operators the way the
+reference's aggregate/sort/join analogs do (SURVEY.md §2.4-2.6):
+grouped aggregation with **partial pre-aggregation inside map_batches**
+before the shuffle (combiner pattern), broadcast hash joins for small
+dimension sides (``ray.put`` once, lookup per batch — never a shuffle
+join for a dimension table), deterministic top-k with tiebreaks, and
+predicate/projection pushdown at the parquet read.
+
+Float determinism: every aggregate is rounded to its natural decimal
+resolution so the DuckDB oracle hash-matches despite summation-order
+differences.
+
+None of these call ``ray.init`` — the caller owns the session.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _round(table: pa.Table, spec: dict[str, int]) -> pa.Table:
+    cols = {}
+    for name in table.column_names:
+        col = table[name]
+        if name in spec:
+            col = pc.round(pc.cast(col, pa.float64()), ndigits=spec[name])
+        cols[name] = col
+    return pa.table(cols)
+
+
+# --------------------------------------------------------------------- Q1
+def q1_pricing_summary(sf_dir: str) -> pa.Table:
+    """Pricing summary: partial per-batch combine, then small groupby.
+
+    The per-batch ``pyarrow.Table.group_by`` collapses each ~64k-row
+    batch to <=6 partial rows, so the Ray ``groupby`` shuffles a few
+    rows per block instead of the whole table.
+    """
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(pa.scalar(1.0), batch["l_discount"])
+        )
+        batch = batch.append_column("disc_price", disc_price)
+        return batch.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [
+                ("l_quantity", "sum"),
+                ("l_extendedprice", "sum"),
+                ("disc_price", "sum"),
+                ("l_quantity", "count"),
+            ]
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    result = (
+        partials.groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity_sum", alias_name="sum_qty"),
+            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
+            Sum("disc_price_sum", alias_name="sum_disc_price"),
+            Sum("l_quantity_count", alias_name="count_order"),
+        )
+        .to_arrow()
+    )
+    avg_qty = pc.divide(
+        pc.cast(result["sum_qty"], pa.float64()),
+        pc.cast(result["count_order"], pa.float64()),
+    )
+    result = result.append_column("avg_qty", avg_qty)
+    return _round(
+        result,
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4, "avg_qty": 2},
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                          AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       COUNT(*)                                           AS count_order,
+       ROUND(SUM(l_quantity) / COUNT(*), 2)               AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------- top-k join
+def q_top_customers(sf_dir: str) -> pa.Table:
+    """Top 10 customers by total order value — combiner + broadcast join.
+
+    orders is the big side (grouped with per-batch partials); customer
+    is the small side, broadcast once via ``ray.put`` and joined per
+    batch with a pandas merge. Deterministic tiebreak on c_custkey.
+    """
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("o_custkey").aggregate(
+            [("o_totalprice", "sum"), ("o_totalprice", "count")]
+        )
+
+    per_cust = (
+        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("o_custkey")
+        .aggregate(
+            Sum("o_totalprice_sum", alias_name="total_spent"),
+            Sum("o_totalprice_count", alias_name="n_orders"),
+        )
+    )
+
+    customer_ref = ray.put(
+        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    )
+
+    def attach_name(batch):
+        import pandas as pd  # noqa: F401
+
+        cust = ray.get(customer_ref)
+        return batch.merge(
+            cust, left_on="o_custkey", right_on="c_custkey", how="inner"
+        )[["c_custkey", "c_name", "total_spent", "n_orders"]]
+
+    joined = per_cust.map_batches(attach_name, batch_format="pandas")
+    top = joined.sort(["total_spent", "c_custkey"], descending=[True, False]).limit(10)
+    return _round(top.to_arrow(), {"total_spent": 2})
+
+
+Q_TOP_CUSTOMERS_SQL = """
+SELECT c_custkey, c_name,
+       ROUND(SUM(o_totalprice), 2) AS total_spent,
+       COUNT(*)                    AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY total_spent DESC, c_custkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------- dim-chain rollup
+def q_revenue_by_nation(sf_dir: str) -> pa.Table:
+    """Order revenue rolled up to customer nation.
+
+    Both dimension sides (customer -> nation) are broadcast as one
+    custkey -> nation-name mapping; the fact table never shuffles until
+    it is already collapsed to per-nation partials.
+    """
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = cust.merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    ).set_index("c_custkey")["n_name"]
+    mapping_ref = ray.put(cust_nation)
+
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial(batch):
+        mapping = ray.get(mapping_ref)
+        batch = batch.copy()
+        batch["n_name"] = batch["o_custkey"].map(mapping)
+        g = batch.groupby("n_name", as_index=False).agg(
+            revenue=("o_totalprice", "sum"), n_orders=("o_totalprice", "count")
+        )
+        return g
+
+    partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
+    result = (
+        partials.groupby("n_name")
+        .aggregate(
+            Sum("revenue", alias_name="revenue"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+        .to_arrow()
+    )
+    return _round(result, {"revenue": 2})
+
+
+Q_REVENUE_BY_NATION_SQL = """
+SELECT n_name,
+       ROUND(SUM(o_totalprice), 2) AS revenue,
+       COUNT(*)                    AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ----------------------------------------------------------- time rollup
+def q_events_daily(sf_dir: str) -> pa.Table:
+    """Events per (type, day): temporal truncation + combiner groupby."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.date32())
+        batch = batch.set_column(
+            batch.schema.get_field_index("ts"), "day", day
+        )
+        return batch.group_by(["event_type", "day"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = events.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    result = (
+        partials.groupby(["event_type", "day"])
+        .aggregate(
+            Sum("value_sum", alias_name="total_value"),
+            Sum("value_count", alias_name="n_events"),
+        )
+        .to_arrow()
+    )
+    return _round(result, {"total_value": 4})
+
+
+Q_EVENTS_DAILY_SQL = """
+SELECT event_type,
+       CAST(date_trunc('day', ts) AS DATE) AS day,
+       ROUND(SUM(value), 4)                AS total_value,
+       COUNT(*)                            AS n_events
+FROM events
+GROUP BY event_type, day
+"""
+
+
+# ------------------------------------------------------------- distincts
+def q_distinct_event_types(sf_dir: str) -> pa.Table:
+    """Global distinct (the corpus-alphabet analog, GlyphDataset.scala:41-48)."""
+    events = _read(sf_dir, "events", columns=["event_type"])
+    n_distinct = events.unique("event_type")
+    return pa.table(
+        {
+            "n_event_types": pa.array([len(n_distinct)], type=pa.int64()),
+            "n_events": pa.array([events.count()], type=pa.int64()),
+        }
+    )
+
+
+Q_DISTINCT_EVENT_TYPES_SQL = """
+SELECT COUNT(DISTINCT event_type) AS n_event_types,
+       COUNT(*)                   AS n_events
+FROM events
+"""
+
+
+# ---------------------------------------------------- filter + projection
+def q_orders_filter(sf_dir: str) -> pa.Table:
+    """Predicate + projection pushed to the read; row-level output."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
+        filter=(pc.field("o_totalprice") > 400000.0),
+    )
+    out = ds.map_batches(
+        lambda t: _round(t, {"o_totalprice": 2}), batch_format="pyarrow"
+    )
+    return out.to_arrow()
+
+
+Q_ORDERS_FILTER_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS o_totalprice, o_orderpriority
+FROM orders
+WHERE o_totalprice > 400000.0
+"""
+
+
+# -------------------------------------------------------------- topk agg
+def q_top_parts(sf_dir: str) -> pa.Table:
+    """Top 10 parts by shipped quantity (combiner + deterministic tiebreak)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return batch.group_by("l_partkey").aggregate([("l_quantity", "sum")])
+
+    per_part = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_partkey")
+        .aggregate(Sum("l_quantity_sum", alias_name="total_qty"))
+    )
+    top = per_part.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
+    return _round(top.to_arrow(), {"total_qty": 2})
+
+
+Q_TOP_PARTS_SQL = """
+SELECT l_partkey, ROUND(SUM(l_quantity), 2) AS total_qty
+FROM lineitem
+GROUP BY l_partkey
+ORDER BY total_qty DESC, l_partkey
+LIMIT 10
+"""
+
+
+# ------------------------------------------------------------ sessionize
+def q_event_sessions(sf_dir: str) -> pa.Table:
+    """Session windows per user (30-min inactivity gap).
+
+    The streaming-shaped op (SURVEY.md §2.9): events as an ordered,
+    partitioned log — ``groupby(user_id)`` + in-group sort on ``ts`` +
+    gap detection. Oracle via LAG window function.
+    """
+    import numpy as np
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        ts = group["ts"].sort_values().to_numpy()
+        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
+        n_sessions = 1 + int((gaps > 1800).sum())
+        return pd.DataFrame(
+            {
+                "user_id": [group["user_id"].iloc[0]],
+                "n_events": [len(group)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return (
+        events.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_arrow()
+    )
+
+
+Q_EVENT_SESSIONS_SQL = """
+WITH gaps AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL 30 MINUTE
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+)
+SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+FROM gaps GROUP BY user_id
+"""

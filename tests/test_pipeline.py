@@ -1,0 +1,143 @@
+"""Pipeline-tier tests (SURVEY.md §5 tier b/c): the Ray Data pipeline
+on a deterministic synthetic Parquet corpus, joined row-for-row to the
+pure-Python oracle on (conv_id, turn_idx) — per-turn text equality
+under stable turn ordering, plus resume/lineage semantics."""
+
+from __future__ import annotations
+
+import glob
+import json
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from jochre3_ocr_ray.functions.extract import extract_turn
+from jochre3_ocr_ray.pipelines.extract import (
+    read_extraction,
+    run_assembly,
+    run_extraction,
+    run_pipeline,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(ray_session, small_corpus, tmp_path_factory):
+    work = tmp_path_factory.mktemp("pipeline")
+    metrics = run_pipeline(small_corpus, work, num_shards=2, concurrency=2)
+    return work, metrics
+
+
+def _input_df(corpus_dir):
+    return pq.read_table(sorted(glob.glob(f"{corpus_dir}/*.parquet"))).to_pandas()
+
+
+class TestPerTurnEquality:
+    def test_every_turn_matches_oracle(self, pipeline_run, small_corpus, lexicon):
+        work, _ = pipeline_run
+        out = read_extraction(work / "turns").to_pandas()
+        inp = _input_df(small_corpus)
+        joined = inp.merge(
+            out, on=["conv_id", "turn_idx"], suffixes=("", "_out"), validate="1:1"
+        )
+        assert len(joined) == len(inp) == len(out)
+        for _, row in joined.iterrows():
+            exp = extract_turn(row["text"], row["turn_idx"], lexicon)
+            assert exp["extracted_text"] == row["extracted_text"], row["conv_id"]
+            assert exp["processed_text"] == row["processed_text"], row["conv_id"]
+            assert exp["n_words"] == row["n_words"]
+            assert exp["confidence"] == pytest.approx(row["confidence"])
+
+    def test_span_offsets_roundtrip_arrow(self, pipeline_run):
+        """Nested blocks survive Arrow/parquet; spans index extracted_text."""
+        work, _ = pipeline_run
+        out = read_extraction(work / "turns").to_pandas()
+        checked = 0
+        for _, row in out.iterrows():
+            text = row["extracted_text"]
+            for block in row["blocks"]:
+                for line in block["lines"]:
+                    for w in line["words"]:
+                        s = w["span"]
+                        assert text[s["start"] : s["end"]] == w["text"]
+                        checked += 1
+        assert checked > 100
+
+    def test_output_schema_stable(self, pipeline_run):
+        work, _ = pipeline_run
+        schema = read_extraction(work / "turns").schema()
+        assert set(schema.names) >= {
+            "conv_id", "turn_idx", "role", "tool", "ts",
+            "extracted_text", "processed_text", "blocks", "confidence",
+            "n_blocks", "n_lines", "n_words", "pipeline_version",
+        }
+
+
+class TestConversationAssembly:
+    def test_stable_turn_ordering(self, pipeline_run, small_corpus, ray_session):
+        """Rows were written shuffled; conversation_text must be in
+        turn_idx order regardless (the groupby + in-group sort)."""
+        import ray.data as rd
+
+        work, _ = pipeline_run
+        convs = rd.read_parquet(str(work / "conversations")).to_pandas()
+        turns = read_extraction(work / "turns").to_pandas()
+        for conv_id in convs["conv_id"].sample(5, random_state=0):
+            g = turns[turns.conv_id == conv_id].sort_values("turn_idx")
+            expected = "\n\n".join(g["extracted_text"])
+            got = convs[convs.conv_id == conv_id]["conversation_text"].iloc[0]
+            assert got == expected, conv_id
+        assert convs["n_turns"].sum() == len(turns)
+
+    def test_salted_two_phase_equals_direct(self, pipeline_run, ray_session):
+        """chunk=2 forces multi-partial assembly; result identical."""
+        import ray.data as rd
+
+        from jochre3_ocr_ray.stages.assemble import assemble_conversations
+
+        work, _ = pipeline_run
+        extracted = read_extraction(work / "turns")
+        small_chunk = assemble_conversations(extracted, chunk=2).to_pandas()
+        default = rd.read_parquet(str(work / "conversations")).to_pandas()
+        merged = small_chunk.merge(default, on="conv_id", suffixes=("_a", "_b"))
+        assert len(merged) == len(default)
+        assert (merged["conversation_text_a"] == merged["conversation_text_b"]).all()
+        assert (merged["n_words_a"] == merged["n_words_b"]).all()
+
+
+class TestResume:
+    def test_resume_skips_completed_shards(self, ray_session, small_corpus, tmp_path):
+        out = tmp_path / "turns"
+        m1 = run_extraction(small_corpus, out, num_shards=2, concurrency=2)
+        assert m1["skipped_shards"] == 0 and m1["shards"] == 2
+        m2 = run_extraction(small_corpus, out, num_shards=2, concurrency=2)
+        assert m2["skipped_shards"] == 2 and m2["rows"] == 0
+
+    def test_partial_failure_recovery_identical_output(
+        self, ray_session, small_corpus, tmp_path
+    ):
+        out = tmp_path / "turns"
+        run_extraction(small_corpus, out, num_shards=2, concurrency=2)
+        full = read_extraction(out).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]
+        ).reset_index(drop=True)
+        # simulate a crash: wipe shard 1's output + manifest
+        shutil.rmtree(out / "shard=00001")
+        (out / "_lineage" / "00001.json").unlink()
+        m = run_extraction(small_corpus, out, num_shards=2, concurrency=2)
+        assert m["skipped_shards"] == 1
+        redone = read_extraction(out).to_pandas().sort_values(
+            ["conv_id", "turn_idx"]
+        ).reset_index(drop=True)
+        assert (full["extracted_text"] == redone["extracted_text"]).all()
+        assert len(full) == len(redone)
+
+    def test_lineage_manifest_contents(self, pipeline_run):
+        work, _ = pipeline_run
+        manifests = sorted((work / "turns" / "_lineage").glob("*.json"))
+        assert len(manifests) == 2
+        m = json.loads(manifests[0].read_text())
+        assert m["status"] == "complete"
+        assert m["rows_out"] > 0
+        assert m["inputs"]
+        assert m["pipeline_version"].startswith("jochre3-ocr-ray/")
