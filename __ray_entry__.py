@@ -1,16 +1,9 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
-
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init`` / ``ray.shutdown`` here or in the library code these
+callables use (only bench.py, CLI entry points and the test fixture
+own a Ray session).
 """
 
 from __future__ import annotations
@@ -20,25 +13,79 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: derive transcript
+    turns, run the layered extraction (normalize -> segment -> rules ->
+    lexicon scoring), return the per-turn Dataset."""
+    from jochre3_ocr_ray.ops.transcripts import derive_transcripts
+    from jochre3_ocr_ray.pipelines.extract import build_extraction
+
+    turns = derive_transcripts("/root/testdata/sf0.001")
+    return build_extraction(turns, include_blocks=True)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline (SURVEY.md §2)."""
+    from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
+    from jochre3_ocr_ray.ops import similarity, textstats, transcripts
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # flagship extraction pipeline (SURVEY §2.2/§2.3/§3)
+        "extract_turns": transcripts.q_extract_turns,
+        "assemble_conversations": transcripts.q_assemble_conversations,
+        # relational coverage (SURVEY §2.4-2.6 analogs)
+        "q1_pricing_summary": relational.q1_pricing_summary,
+        "top_customers": relational.q_top_customers,
+        "revenue_by_nation": relational.q_revenue_by_nation,
+        "events_daily": relational.q_events_daily,
+        "distinct_event_types": relational.q_distinct_event_types,
+        "orders_filter": relational.q_orders_filter,
+        "top_parts": relational.q_top_parts,
+        "event_sessions": relational.q_event_sessions,
+        # dedup family (§2.7 + training-data ops)
+        "dedup_exact": dedup.q_dedup_exact,
+        "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_simhash": dedup.q_dedup_simhash,
+        "embedding_near_dup": dedup.q_embedding_near_dup,
+        "embedding_near_dup_lsh": dedup.q_embedding_near_dup_lsh,
+        # similarity search
+        "ann_cosine_topk": similarity.q_ann_cosine_topk,
+        "ann_ivf_topk": similarity.q_ann_ivf_topk,
+        # text analysis
+        "token_count": textstats.q_token_count,
+        "quality_score": textstats.q_quality_score,
+        "fingerprint": textstats.q_fingerprint,
+        "langid": textstats.q_langid,
+        # multimodal plumbing
+        "media_features": multimodal.q_media_features,
+        # evaluation metrics (Evaluator analog)
+        "eval_extraction": evaluation.q_eval_extraction,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB oracle for every SQL-expressible query above. Omitted
+    (rows-only check): dedup_minhash, dedup_simhash,
+    embedding_near_dup_lsh, ann_ivf_topk (approximate/LSH ops),
+    langid (heuristic model), media_features (model scoring)."""
+    from jochre3_ocr_ray.ops import dedup, evaluation, relational, similarity
+    from jochre3_ocr_ray.ops import textstats, transcripts
+
+    return {
+        "extract_turns": transcripts.Q_EXTRACT_TURNS_SQL,
+        "assemble_conversations": transcripts.Q_ASSEMBLE_CONVERSATIONS_SQL,
+        "q1_pricing_summary": relational.Q1_SQL,
+        "top_customers": relational.Q_TOP_CUSTOMERS_SQL,
+        "revenue_by_nation": relational.Q_REVENUE_BY_NATION_SQL,
+        "events_daily": relational.Q_EVENTS_DAILY_SQL,
+        "distinct_event_types": relational.Q_DISTINCT_EVENT_TYPES_SQL,
+        "orders_filter": relational.Q_ORDERS_FILTER_SQL,
+        "top_parts": relational.Q_TOP_PARTS_SQL,
+        "event_sessions": relational.Q_EVENT_SESSIONS_SQL,
+        "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
+        "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
+        "token_count": textstats.Q_TOKEN_COUNT_SQL,
+        "quality_score": textstats.Q_QUALITY_SCORE_SQL,
+        "fingerprint": textstats.Q_FINGERPRINT_SQL,
+        "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
+    }

@@ -1,0 +1,142 @@
+"""Benchmark harness (driver contract).
+
+Plain run: one JSON line with the headline extraction wall time plus
+per-query timings over $GRAFT_SF_DIR.
+
+``--scaling``: the same headline job in two fresh processes at
+num_cpus=8 and num_cpus=32 on the same input — the sandbox evidence
+for the N -> 4N cluster-size scaling criterion (no real multi-node
+cluster here; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_TURNS = int(os.environ.get("GRAFT_BENCH_TURNS", "200000"))
+
+QUERY_NAMES = [
+    "extract_turns",
+    "assemble_conversations",
+    "q1_pricing_summary",
+    "top_customers",
+    "revenue_by_nation",
+    "events_daily",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "token_count",
+    "quality_score",
+    "fingerprint",
+]
+
+
+def run_bench() -> dict:
+    import ray
+    from ray.data import DataContext
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from jochre3_ocr_ray.sources.corpus import cached_corpus
+    from jochre3_ocr_ray.pipelines.extract import run_pipeline
+    import __ray_entry__ as entry_mod
+
+    # ---- headline: extraction + assembly over the synthetic transcript
+    # corpus (generation cached + excluded; one untimed read warms the
+    # page cache)
+    corpus = cached_corpus(BENCH_TURNS)
+    import pyarrow.parquet as pq
+    import glob as _glob
+
+    files = sorted(_glob.glob(f"{corpus}/*.parquet"))
+    n_turns = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    for f in files:  # warm page cache
+        pq.read_table(f)
+
+    import shutil
+
+    work = f"/tmp/jochre3_bench_work_{NUM_CPUS}"
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.perf_counter()
+    run_pipeline(
+        corpus,
+        work,
+        num_shards=4,
+        resume=False,
+        include_blocks=True,
+        batch_size=512,
+        concurrency=(2, NUM_CPUS),
+    )
+    headline_sec = time.perf_counter() - t0
+
+    # ---- per-query timings over the sf dir
+    queries = entry_mod.queries()
+    query_secs: dict[str, float] = {}
+    for name in QUERY_NAMES:
+        fn = queries[name]
+        t0 = time.perf_counter()
+        result = fn(SF_DIR)
+        if hasattr(result, "materialize"):
+            result = result.materialize()
+        query_secs[name] = round(time.perf_counter() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "extraction pipeline wall time (synthetic transcript corpus)",
+        "value": round(headline_sec, 3),
+        "unit": "sec",
+        "queries": query_secs,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "bench_turns": n_turns,
+        "turns_per_sec": round(n_turns / headline_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = run(lo), run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "turns_per_sec_8": r_lo["turns_per_sec"],
+        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "scaling_efficiency": round(eff, 3),
+        "bench_turns": r_hi["bench_turns"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -170,8 +170,15 @@ def _render_block_processed(lines: list[_Line]) -> str:
     return "".join(out)
 
 
-def extract_turn(text: str, turn_idx: int, lex: Lexicon) -> dict:
-    """Run the full extraction chain on one turn payload."""
+def extract_turn(
+    text: str, turn_idx: int, lex: Lexicon, alternatives_fn=None
+) -> dict:
+    """Run the full extraction chain on one turn payload.
+
+    ``alternatives_fn(word_text) -> list[{"purpose","content"}]`` is the
+    optional addStringAlternatives hook (``AltoTransformer.scala:62-67``);
+    None emits empty lists.
+    """
     normalized = simplify(text or "")
     seg_blocks = segment(normalized)
 
@@ -213,6 +220,11 @@ def extract_turn(text: str, turn_idx: int, lex: Lexicon) -> dict:
                                 "confidence": w.confidence,
                                 "subs_type": w.subs_type,
                                 "subs_content": w.subs_content,
+                                "alternatives": (
+                                    alternatives_fn(w.text)
+                                    if alternatives_fn is not None
+                                    else []
+                                ),
                             }
                             for w in l.words
                         ],

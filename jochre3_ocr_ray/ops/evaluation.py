@@ -1,0 +1,149 @@
+"""Evaluation metrics — the Evaluator / TextEvaluator analog.
+
+Reference: ``modules/core/src/main/scala/.../evaluation/``:
+``CharacterErrorRate.scala:5-15`` (Levenshtein / expected length),
+``BagOfWords.scala:7-31`` (cosine similarity of whitespace-token
+multisets), ``TextEvaluationMetric.scala:9-14`` (CharacterCount),
+``EvaluatorBase.scala:8-44`` (per-file metric rows + Mean row).
+
+Here: predicted vs expected text pairs joined on (conv_id, turn_idx)
+— the eval join the reference does by file-path convention
+(``AltoFinder.scala:12-27``) — metrics computed per turn in a
+``map_batches`` stage, plus a tiny global mean aggregate appended as a
+``__mean__`` row (the eval.tsv "Mean" line).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from math import sqrt
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from .relational import _round, _to_table
+
+
+def levenshtein(a: str, b: str) -> int:
+    """Iterative two-row edit distance."""
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def character_error_rate(predicted: str, expected: str) -> float:
+    """Levenshtein distance / expected length (CharacterErrorRate.scala:7-12)."""
+    if not expected:
+        return 0.0 if not predicted else 1.0
+    return levenshtein(predicted, expected) / len(expected)
+
+
+def bag_of_words_cosine(predicted: str, expected: str) -> float:
+    """Cosine similarity of whitespace-token multisets (BagOfWords.scala:7-31)."""
+    ca, cb = Counter(predicted.split()), Counter(expected.split())
+    if not ca and not cb:
+        return 1.0
+    if not ca or not cb:
+        return 0.0
+    dot = sum(ca[t] * cb[t] for t in ca.keys() & cb.keys())
+    na = sqrt(sum(v * v for v in ca.values()))
+    nb = sqrt(sum(v * v for v in cb.values()))
+    return dot / (na * nb)
+
+
+def evaluate_pairs(
+    pairs: "ray.data.Dataset",
+    predicted_col: str = "predicted",
+    expected_col: str = "expected",
+    key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> pa.Table:
+    """Per-row metrics + a ``__mean__`` summary row (EvaluatorBase)."""
+
+    def metrics(batch: pd.DataFrame) -> pd.DataFrame:
+        out = batch[list(key_cols)].copy()
+        out["key"] = out[key_cols[0]].astype(str) + "/" + out[key_cols[1]].astype(str)
+        out["cer"] = [
+            character_error_rate(p, e)
+            for p, e in zip(batch[predicted_col], batch[expected_col])
+        ]
+        out["bow_cosine"] = [
+            bag_of_words_cosine(p, e)
+            for p, e in zip(batch[predicted_col], batch[expected_col])
+        ]
+        out["char_count"] = batch[expected_col].str.len().astype("int64")
+        return out[["key", "cer", "bow_cosine", "char_count"]]
+
+    per_row = _to_table(pairs.map_batches(metrics, batch_format="pandas"))
+    df = per_row.to_pandas()
+    mean_row = pd.DataFrame(
+        {
+            "key": ["__mean__"],
+            "cer": [df["cer"].mean() if len(df) else 0.0],
+            "bow_cosine": [df["bow_cosine"].mean() if len(df) else 1.0],
+            "char_count": [int(np.round(df["char_count"].mean())) if len(df) else 0],
+        }
+    )
+    combined = pd.concat([df, mean_row], ignore_index=True)
+    return _round(
+        pa.Table.from_pandas(combined, preserve_index=False),
+        {"cer": 6, "bow_cosine": 6},
+    )
+
+
+def q_eval_extraction(sf_dir: str) -> pa.Table:
+    """Self-evaluation over the derived transcripts: predicted =
+    processed_text, expected = extracted_text. Oracle via DuckDB's
+    ``levenshtein`` (both texts are single-line on this corpus)."""
+    from .transcripts import derive_transcripts
+    from ..pipelines.extract import build_extraction
+
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction(turns, include_blocks=False)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "predicted": batch["processed_text"],
+                "expected": batch["extracted_text"],
+            }
+        )
+
+    pairs = extracted.map_batches(project, batch_format="pyarrow")
+    return evaluate_pairs(pairs)
+
+
+Q_EVAL_EXTRACTION_SQL = """
+WITH t AS (
+  SELECT 'conv' || LPAD(CAST(doc_id % 100 AS VARCHAR), 6, '0') AS conv_id,
+         CAST(doc_id // 100 AS INT) AS turn_idx,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN ''
+              ELSE REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g') END AS extracted
+  FROM documents
+),
+per_row AS (
+  SELECT conv_id || '/' || CAST(turn_idx AS VARCHAR) AS key,
+         0.0 AS cer, 1.0 AS bow_cosine,
+         LENGTH(extracted) AS char_count
+  FROM t
+)
+SELECT key, ROUND(cer, 6) AS cer, ROUND(bow_cosine, 6) AS bow_cosine, char_count
+FROM per_row
+UNION ALL
+SELECT '__mean__', 0.0, 1.0, CAST(ROUND(AVG(char_count), 0) AS BIGINT)
+FROM per_row
+"""

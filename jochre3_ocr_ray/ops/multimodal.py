@@ -1,0 +1,153 @@
+"""Multimodal column plumbing — opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with a typed
+metadata struct; decode / feature-extraction runs as an actor-pool
+``map_batches`` stage with small batches (large payloads → batch
+memory = batch_size × payload, so the stage pins ``batch_size`` low
+and relies on the streaming executor's backpressure).
+
+The actual codecs are NOT in this container, so ``decode_image`` is a
+clearly-marked stub (``NotImplementedError``) and the default feature
+extractor is a deterministic fake (blake2b-seeded vector) — the
+Ray-side plumbing (schema, actor signature, batch sizing, output
+layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+MEDIA_META_TYPE = pa.struct(
+    [
+        pa.field("media_type", pa.string()),   # "image" | "audio" | "video"
+        pa.field("format", pa.string()),       # "png" | "wav" | ...
+        pa.field("width", pa.int32()),
+        pa.field("height", pa.int32()),
+        pa.field("duration_ms", pa.int32()),
+    ]
+)
+
+MEDIA_SCHEMA = pa.schema(
+    [
+        pa.field("media_id", pa.int64()),
+        pa.field("payload", pa.binary()),
+        pa.field("meta", MEDIA_META_TYPE),
+    ]
+)
+
+FEATURE_DIM = 32
+
+
+def decode_image(payload: bytes, fmt: str) -> "object":
+    """Decode an image payload to pixels. STUB — no codec libraries in
+    this environment. The real implementation plugs in here (PIL/
+    opencv) without touching the Ray plumbing."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "swap in PIL/opencv here"
+    )
+
+
+def fake_feature(payload: bytes) -> np.ndarray:
+    """Deterministic fake embedding: blake2b-seeded float vector in
+    [-1, 1). Stands in for a model forward pass."""
+    digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 2).digest()
+    raw = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
+    return (raw / 32768.0) - 1.0
+
+
+class MediaFeatureExtractor:
+    """Actor-pool stage: binary payload -> feature vector + stats.
+
+    Model/codec state would load once here in ``__init__`` (the
+    GlyphGuesser pattern, reference ``core/learning/
+    GlyphGuesser.scala:20-81``)."""
+
+    def __init__(self, feature_dim: int = FEATURE_DIM):
+        self.feature_dim = feature_dim  # model load goes here
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        feats = [fake_feature(p) for p in payloads]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(
+                    [len(p) for p in payloads], type=pa.int64()
+                ),
+                "feature": pa.array(
+                    [f.tolist() for f in feats],
+                    type=pa.list_(pa.float64(), self.feature_dim),
+                ),
+            }
+        )
+
+
+def synthesize_media_dataset(sf_dir: str) -> "ray.data.Dataset":
+    """Deterministic fake media table derived from documents: payload =
+    utf-8 bytes of the text, metadata from its length."""
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_media(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        metas = [
+            {
+                "media_type": "image",
+                "format": "fake",
+                "width": (len(t) % 64) + 1,
+                "height": ((len(t) // 64) % 64) + 1,
+                "duration_ms": 0,
+            }
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "media_id": batch["doc_id"],
+                "payload": pa.array(
+                    [t.encode("utf-8") for t in texts], type=pa.binary()
+                ),
+                "meta": pa.array(metas, type=MEDIA_META_TYPE),
+            }
+        )
+
+    return ds.map_batches(to_media, batch_format="pyarrow", batch_size=1024)
+
+
+def q_media_features(sf_dir: str) -> pa.Table:
+    """Feature extraction over the synthesized media table; returns
+    (media_id, n_bytes, feat_norm) — rows-only check (model scoring)."""
+    media = synthesize_media_dataset(sf_dir)
+    feats = media.map_batches(
+        MediaFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=256,           # small: payloads can be large
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def norms(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        mat = np.stack(
+            [np.asarray(f, dtype=np.float64) for f in batch["feature"].to_pylist()]
+        )
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": batch["n_bytes"],
+                "feat_norm": pc.round(
+                    pa.array(np.linalg.norm(mat, axis=1)),
+                    ndigits=4,
+                    round_mode="half_towards_infinity",
+                ),
+            }
+        )
+
+    return feats.map_batches(norms, batch_format="pyarrow")

@@ -29,12 +29,33 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
-def _round(table: pa.Table, spec: dict[str, int]) -> pa.Table:
+def _to_table(ds) -> pa.Table:
+    """Materialize a (small, final) Dataset as one Arrow table."""
+    import ray as _ray
+
+    refs = ds.to_arrow_refs()
+    tables = [t for t in _ray.get(refs) if t.num_rows > 0]
+    if not tables:
+        return _ray.get(refs[0]) if refs else pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def _round(table, spec: dict[str, int]) -> pa.Table:
+    if not isinstance(table, pa.Table):
+        table = _to_table(table)
     cols = {}
     for name in table.column_names:
         col = table[name]
         if name in spec:
-            col = pc.round(pc.cast(col, pa.float64()), ndigits=spec[name])
+            # replicate DuckDB's ROUND bit-for-bit: round(x * 10^d) / 10^d
+            # in float64 with half-away-from-zero, so the oracle's
+            # stringified values hash-match exactly
+            scale = float(10 ** spec[name])
+            scaled = pc.multiply(pc.cast(col, pa.float64()), scale)
+            col = pc.divide(
+                pc.round(scaled, ndigits=0, round_mode="half_towards_infinity"),
+                scale,
+            )
         cols[name] = col
     return pa.table(cols)
 
@@ -79,8 +100,9 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
             Sum("disc_price_sum", alias_name="sum_disc_price"),
             Sum("l_quantity_count", alias_name="count_order"),
         )
-        .to_arrow()
+        
     )
+    result = _to_table(result)
     avg_qty = pc.divide(
         pc.cast(result["sum_qty"], pa.float64()),
         pc.cast(result["count_order"], pa.float64()),
@@ -142,7 +164,7 @@ def q_top_customers(sf_dir: str) -> pa.Table:
 
     joined = per_cust.map_batches(attach_name, batch_format="pandas")
     top = joined.sort(["total_spent", "c_custkey"], descending=[True, False]).limit(10)
-    return _round(top.to_arrow(), {"total_spent": 2})
+    return _round(top, {"total_spent": 2})
 
 
 Q_TOP_CUSTOMERS_SQL = """
@@ -189,7 +211,7 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
             Sum("revenue", alias_name="revenue"),
             Sum("n_orders", alias_name="n_orders"),
         )
-        .to_arrow()
+        
     )
     return _round(result, {"revenue": 2})
 
@@ -211,7 +233,7 @@ def q_events_daily(sf_dir: str) -> pa.Table:
     events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
 
     def partial(batch: pa.Table) -> pa.Table:
-        day = pc.cast(pc.floor_temporal(batch["ts"], unit="day"), pa.date32())
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
         batch = batch.set_column(
             batch.schema.get_field_index("ts"), "day", day
         )
@@ -226,14 +248,14 @@ def q_events_daily(sf_dir: str) -> pa.Table:
             Sum("value_sum", alias_name="total_value"),
             Sum("value_count", alias_name="n_events"),
         )
-        .to_arrow()
+        
     )
     return _round(result, {"total_value": 4})
 
 
 Q_EVENTS_DAILY_SQL = """
 SELECT event_type,
-       CAST(date_trunc('day', ts) AS DATE) AS day,
+       STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
        ROUND(SUM(value), 4)                AS total_value,
        COUNT(*)                            AS n_events
 FROM events
@@ -272,7 +294,7 @@ def q_orders_filter(sf_dir: str) -> pa.Table:
     out = ds.map_batches(
         lambda t: _round(t, {"o_totalprice": 2}), batch_format="pyarrow"
     )
-    return out.to_arrow()
+    return out
 
 
 Q_ORDERS_FILTER_SQL = """
@@ -296,7 +318,7 @@ def q_top_parts(sf_dir: str) -> pa.Table:
         .aggregate(Sum("l_quantity_sum", alias_name="total_qty"))
     )
     top = per_part.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
-    return _round(top.to_arrow(), {"total_qty": 2})
+    return _round(top, {"total_qty": 2})
 
 
 Q_TOP_PARTS_SQL = """
@@ -323,8 +345,8 @@ def q_event_sessions(sf_dir: str) -> pa.Table:
 
     def sessions(group: pd.DataFrame) -> pd.DataFrame:
         ts = group["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[s]").astype(np.int64)
-        n_sessions = 1 + int((gaps > 1800).sum())
+        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+        n_sessions = 1 + int((gaps > 1800 * 1_000_000).sum())
         return pd.DataFrame(
             {
                 "user_id": [group["user_id"].iloc[0]],
@@ -333,10 +355,8 @@ def q_event_sessions(sf_dir: str) -> pa.Table:
             }
         )
 
-    return (
-        events.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
-        .to_arrow()
+    return _to_table(
+        events.groupby("user_id").map_groups(sessions, batch_format="pandas")
     )
 
 
@@ -349,6 +369,7 @@ WITH gaps AS (
               THEN 1 ELSE 0 END AS new_session
   FROM events
 )
-SELECT user_id, COUNT(*) AS n_events, SUM(new_session) AS n_sessions
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
 """

@@ -1,0 +1,153 @@
+"""Similarity search over the embedding column.
+
+Brute-force cosine top-k is the exact baseline: the query matrix is
+broadcast once (``ray.put``), every batch does one numpy matmul
+against it and emits its LOCAL top-k per query, and a final tiny
+``groupby(query_id)`` reduces local winners to the global top-k —
+the classic distributed top-k (no all-to-all of scores).
+
+The IVF-style variant assigns vectors to k-means-ish centroid buckets
+(fixed seeded centroids chosen from the data by id) and only probes
+the closest ``nprobe`` buckets per query — the 100 TB path, checked
+rows-only (approximate recall).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from .relational import _read, _round
+
+TOP_K = 10
+N_QUERIES = 5
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    df = table.to_pandas()
+    df = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
+    qids = df["vec_id"].to_numpy()
+    qmat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+    return qids, qmat
+
+
+def q_ann_cosine_topk(sf_dir: str) -> pa.Table:
+    """Exact cosine top-10 neighbours for query vectors vec_id<5."""
+    qids, qmat = _query_matrix(sf_dir)
+    qref = ray.put((qids, qmat))
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_q, mat_q = ray.get(qref)
+        rows = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = mat_q @ rows.T  # (n_queries, batch)
+        vec_ids = batch["vec_id"].to_numpy()
+        out = []
+        k = min(TOP_K, sims.shape[1])
+        for qi, qid in enumerate(ids_q):
+            # local top-k with deterministic (sim desc, vec_id asc) order
+            idx = np.lexsort((vec_ids, -sims[qi]))[:k]
+            for j in idx:
+                out.append((int(qid), int(vec_ids[j]), float(sims[qi, j])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "cos_sim"]).astype(
+            {"query_id": "int64", "vec_id": "int64", "cos_sim": "float64"}
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        out = group.head(TOP_K).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    result = local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return _round(result, {"cos_sim": 4})
+
+
+Q_ANN_COSINE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(q.q_emb, e.embedding) AS sim
+  FROM q CROSS JOIN embeddings e
+),
+ranked AS (
+  SELECT query_id, vec_id, sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, vec_id) AS rank
+  FROM scored
+)
+SELECT query_id, vec_id, ROUND(sim, 4) AS cos_sim, rank
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def q_ann_ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF-bucketed approximate top-k (rows-only check).
+
+    Centroids are a fixed seeded sample of the data; vectors go to
+    their nearest centroid's bucket; each query probes only the
+    ``nprobe`` nearest buckets."""
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    ).to_pandas()
+    sample = table.sort_values("vec_id").head(n_centroids)
+    centroids = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    qids, qmat = _query_matrix(sf_dir)
+    probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    ref = ray.put((qids, qmat, centroids, probe))
+
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def local_topk(batch: pd.DataFrame) -> pd.DataFrame:
+        ids_q, mat_q, cents, probe_sets = ray.get(ref)
+        rows = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        assign = np.argmax(rows @ cents.T, axis=1)
+        vec_ids = batch["vec_id"].to_numpy()
+        out = []
+        for qi, qid in enumerate(ids_q):
+            mask = np.isin(assign, probe_sets[qi])
+            if not mask.any():
+                continue
+            sims = mat_q[qi] @ rows[mask].T
+            sub_ids = vec_ids[mask]
+            idx = np.lexsort((sub_ids, -sims))[: min(TOP_K, len(sub_ids))]
+            for j in idx:
+                out.append((int(qid), int(sub_ids[j]), float(sims[j])))
+        return pd.DataFrame(out, columns=["query_id", "vec_id", "cos_sim"]).astype(
+            {"query_id": "int64", "vec_id": "int64", "cos_sim": "float64"}
+        )
+
+    local = ds.map_batches(local_topk, batch_format="pandas", batch_size=4096)
+
+    def global_topk(group: pd.DataFrame) -> pd.DataFrame:
+        group = group.sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True], kind="mergesort"
+        )
+        out = group.head(TOP_K).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    result = local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
+    return _round(result, {"cos_sim": 4})

@@ -1,0 +1,177 @@
+"""Text-analysis operators over the ``documents`` table.
+
+Large-scale training-data pipeline components (first-class per the
+build brief): token counting, quality scoring, language ID, document
+fingerprinting. All are single-pass ``map_batches`` stages — row-local,
+no shuffle — vectorized with ``pyarrow.compute`` string kernels where a
+kernel exists.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from .relational import _read, _round
+
+_WS = re.compile(r"\s+")
+
+
+# ------------------------------------------------------------ token count
+def q_token_count(sf_dir: str) -> pa.Table:
+    """Whitespace token count per document (vectorized)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        # tokens = whitespace runs + 1, 0 for empty strings
+        ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+        nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+        n_tokens = pc.if_else(
+            nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=65536)
+
+
+Q_TOKEN_COUNT_SQL = """
+SELECT doc_id,
+       CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+            ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+       END AS n_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------------- quality score
+def q_quality_score(sf_dir: str) -> pa.Table:
+    """Char-class ratios (length / alpha / digit / space) per document —
+    the quality-heuristic family (length/punct/stopword ratios)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        n = pc.cast(pc.utf8_length(text), pa.float64())
+        safe_n = pc.max_element_wise(n, pa.scalar(1.0))
+        alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+        digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.float64())
+        space = pc.cast(pc.count_substring_regex(text, " "), pa.float64())
+        out = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_chars_seen": pc.cast(n, pa.int64()),
+                "alpha_ratio": pc.divide(alpha, safe_n),
+                "digit_ratio": pc.divide(digit, safe_n),
+                "space_ratio": pc.divide(space, safe_n),
+            }
+        )
+        return _round(out, {"alpha_ratio": 4, "digit_ratio": 4, "space_ratio": 4})
+
+    return ds.map_batches(score, batch_format="pyarrow", batch_size=65536)
+
+
+Q_QUALITY_SCORE_SQL = """
+SELECT doc_id,
+       LENGTH(text) AS n_chars_seen,
+       ROUND(LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+             / GREATEST(LENGTH(text), 1.0), 4) AS alpha_ratio,
+       ROUND(LENGTH(REGEXP_REPLACE(text, '[^0-9]', '', 'g'))
+             / GREATEST(LENGTH(text), 1.0), 4) AS digit_ratio,
+       ROUND((LENGTH(text) - LENGTH(REPLACE(text, ' ', '')))
+             / GREATEST(LENGTH(text), 1.0), 4) AS space_ratio
+FROM documents
+"""
+
+
+# ---------------------------------------------------------- fingerprint
+def q_fingerprint(sf_dir: str) -> pa.Table:
+    """Deterministic content fingerprint: md5 of the whitespace-
+    normalized, lowercased text (exact-dedup key / provenance id)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fp(batch: pa.Table) -> pa.Table:
+        texts = batch["text"].to_pylist()
+        digests = [
+            hashlib.md5(_WS.sub(" ", t.strip()).lower().encode("utf-8")).hexdigest()
+            for t in texts
+        ]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "fingerprint": pa.array(digests, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fp, batch_format="pyarrow", batch_size=65536)
+
+
+Q_FINGERPRINT_SQL = """
+SELECT doc_id,
+       MD5(LOWER(REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# -------------------------------------------------------------- lang id
+# n-gram/stopword heuristic language ID. Not SQL-expressible -> the
+# driver records a rows-only check; pytest pins the heuristic on
+# fixed inputs.
+_LANG_MARKERS: dict[str, set[str]] = {
+    "en": {"the", "and", "of", "to", "is", "in", "that", "with", "for", "it"},
+    "fr": {"le", "la", "les", "des", "une", "est", "dans", "pour", "que", "avec"},
+    "es": {"el", "los", "las", "una", "es", "en", "que", "por", "para", "con"},
+    "de": {"der", "die", "das", "und", "ist", "ein", "mit", "für", "nicht", "von"},
+}
+
+
+class LangId:
+    """Actor-pool language-ID stage (marker tables built once)."""
+
+    def __init__(self):
+        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        self.token_re = re.compile(r"[a-zà-ÿäöüß]+")
+        self.han_re = re.compile(r"[一-鿿]")
+        self.rtl_re = re.compile(r"[֐-ۿ]")
+
+    def predict_one(self, text: str) -> str:
+        if self.han_re.search(text):
+            return "zh"
+        if self.rtl_re.search(text):
+            return "rtl"
+        tokens = self.token_re.findall(text.lower())
+        if not tokens:
+            return "unknown"
+        best_lang, best_hits = "unknown", 0
+        for lang in sorted(self.markers):
+            hits = sum(1 for t in tokens if t in self.markers[lang])
+            if hits > best_hits:
+                best_lang, best_hits = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.predict_one(t) for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "predicted_lang": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def q_langid(sf_dir: str) -> pa.Table:
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
+    )

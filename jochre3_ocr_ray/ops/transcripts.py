@@ -1,0 +1,125 @@
+"""Flagship extraction + assembly queries over driver testdata.
+
+The driver's sf dirs have no transcript-shaped table, so one is
+**derived deterministically** from ``documents`` (pure arithmetic on
+``doc_id`` — reproducible in ANSI SQL, so the extraction and the
+conversation-assembly shuffle get REAL DuckDB oracles):
+
+    conv_id  = 'conv' || lpad(doc_id % 100, 6, '0')
+    turn_idx = doc_id // 100
+    role     = cycle(user/assistant/tool/system) by doc_id % 4
+    text     = documents.text
+
+On this corpus (plain single-line ASCII payloads) the reference
+extraction semantics reduce to whitespace collapse, which the oracle
+expresses exactly; the full semantics (markup, hyphenation, RTL,
+geometry) are pinned by the pytest oracle suite on the synthetic
+fixture corpus instead (tests/test_pipeline.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..pipelines.extract import build_extraction
+from ..stages.assemble import assemble_conversations
+
+N_CONVS = 100
+
+_BASE_TS = "2026-01-01T00:00:00"
+_ROLES = ["user", "assistant", "tool", "system"]
+
+
+def derive_transcripts(sf_dir: str) -> "ray.data.Dataset":
+    """documents -> transcript-shaped Dataset (input_hint schema)."""
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+
+    def to_turns(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        doc_id = batch["doc_id"].to_numpy()
+        conv_num = doc_id % N_CONVS
+        conv_id = pa.array([f"conv{c:06d}" for c in conv_num], type=pa.string())
+        turn_idx = pa.array((doc_id // N_CONVS).astype(np.int32))
+        roles = pa.array(
+            [_ROLES[i] for i in doc_id % len(_ROLES)], type=pa.string()
+        )
+        base = np.datetime64(_BASE_TS, "us")
+        ts = pa.array(base + doc_id.astype("timedelta64[s]").astype("timedelta64[us]"))
+        return pa.table(
+            {
+                "conv_id": conv_id,
+                "turn_idx": turn_idx,
+                "role": roles,
+                "text": batch["text"],
+                "tool": pa.array([""] * len(batch), type=pa.string()),
+                "ts": ts,
+            }
+        )
+
+    return docs.map_batches(to_turns, batch_format="pyarrow", batch_size=65536)
+
+
+def q_extract_turns(sf_dir: str) -> pa.Table:
+    """Per-turn extraction over the derived transcripts."""
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction(turns, include_blocks=False)
+    out = extracted.select_columns(
+        ["conv_id", "turn_idx", "extracted_text", "processed_text",
+         "n_blocks", "n_lines", "n_words"]
+    )
+    return out
+
+
+_DERIVE_SQL = f"""
+  SELECT 'conv' || LPAD(CAST(doc_id % {N_CONVS} AS VARCHAR), 6, '0') AS conv_id,
+         CAST(doc_id // {N_CONVS} AS INT) AS turn_idx,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN ''
+              ELSE REGEXP_REPLACE(TRIM(text), '\\s+', ' ', 'g') END AS extracted_text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END
+              AS n_words
+  FROM documents
+"""
+
+Q_EXTRACT_TURNS_SQL = f"""
+WITH t AS ({_DERIVE_SQL})
+SELECT conv_id, turn_idx, extracted_text,
+       extracted_text AS processed_text,
+       CASE WHEN n_words = 0 THEN 0 ELSE 1 END AS n_blocks,
+       CASE WHEN n_words = 0 THEN 0 ELSE 1 END AS n_lines,
+       n_words
+FROM t
+"""
+
+
+def q_assemble_conversations(sf_dir: str) -> pa.Table:
+    """Conversation documents: the groupby(conv_id) + turn_idx-sort
+    shuffle, oracle-checked via STRING_AGG(... ORDER BY turn_idx)."""
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction(turns, include_blocks=False)
+    convs = assemble_conversations(extracted)
+    out = convs.select_columns(
+        ["conv_id", "n_turns", "n_words", "conversation_text",
+         "processed_conversation_text"]
+    )
+    return out
+
+
+Q_ASSEMBLE_CONVERSATIONS_SQL = f"""
+WITH t AS ({_DERIVE_SQL})
+SELECT conv_id,
+       COUNT(*)                        AS n_turns,
+       CAST(SUM(n_words) AS BIGINT)    AS n_words,
+       STRING_AGG(extracted_text, chr(10) || chr(10) ORDER BY turn_idx)
+         AS conversation_text,
+       STRING_AGG(extracted_text, chr(10) || chr(10) ORDER BY turn_idx)
+         AS processed_conversation_text
+FROM t
+GROUP BY conv_id
+"""

@@ -51,13 +51,17 @@ def build_extraction(
     ds: "ray.data.Dataset",
     *,
     include_blocks: bool = True,
+    include_alternatives: bool = False,
     batch_size: int = 256,
     concurrency=(2, 8),
 ) -> "ray.data.Dataset":
     """Attach the extraction stage to an input Dataset (lazy)."""
     return ds.map_batches(
         ExtractTurns,
-        fn_constructor_kwargs={"include_blocks": include_blocks},
+        fn_constructor_kwargs={
+            "include_blocks": include_blocks,
+            "include_alternatives": include_alternatives,
+        },
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

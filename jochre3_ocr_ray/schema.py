@@ -27,6 +27,10 @@ TRANSCRIPT_SCHEMA = pa.schema(
 # ---- nested extraction structure (FIXTURES.md §2; ALTO-tree analog)
 SPAN_TYPE = pa.struct([pa.field("start", pa.int64()), pa.field("end", pa.int64())])
 
+ALTERNATIVE_TYPE = pa.struct(
+    [pa.field("purpose", pa.string()), pa.field("content", pa.string())]
+)
+
 WORD_TYPE = pa.struct(
     [
         pa.field("text", pa.string()),
@@ -34,6 +38,7 @@ WORD_TYPE = pa.struct(
         pa.field("confidence", pa.float32()),
         pa.field("subs_type", pa.string()),
         pa.field("subs_content", pa.string()),
+        pa.field("alternatives", pa.list_(ALTERNATIVE_TYPE)),
     ]
 )
 

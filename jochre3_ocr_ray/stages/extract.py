@@ -27,11 +27,17 @@ from ..functions.lexicon import Lexicon
 from ..schema import BLOCKS_TYPE, PIPELINE_VERSION
 
 
-def _apply(batch: pa.Table, lexicon: Lexicon, include_blocks: bool) -> pa.Table:
+def _apply(
+    batch: pa.Table,
+    lexicon: Lexicon,
+    include_blocks: bool,
+    alternatives_fn=None,
+) -> pa.Table:
     texts = batch.column("text").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
     results = [
-        extract_turn(text, idx, lexicon) for text, idx in zip(texts, turn_idxs)
+        extract_turn(text, idx, lexicon, alternatives_fn)
+        for text, idx in zip(texts, turn_idxs)
     ]
 
     columns: dict[str, pa.Array] = {
@@ -63,13 +69,28 @@ def _apply(batch: pa.Table, lexicon: Lexicon, include_blocks: bool) -> pa.Table:
 class ExtractTurns:
     """Callable-class stage: layered extraction over a turn batch."""
 
-    def __init__(self, lexicon_path: str | None = None, include_blocks: bool = True):
+    def __init__(
+        self,
+        lexicon_path: str | None = None,
+        include_blocks: bool = True,
+        include_alternatives: bool = False,
+    ):
         # once per actor: lexicon load + (module-level) regex compilation
+        # + transliteration tables (the GlyphGuesser/Lexicon singleton
+        # pattern)
         self.lexicon = Lexicon.load(lexicon_path)
         self.include_blocks = include_blocks
+        if include_alternatives:
+            from ..functions.alternatives import build_alternatives
+            from ..functions.transliterate import Transliterator
+
+            translit = Transliterator()
+            self.alternatives_fn = lambda w: build_alternatives(w, translit)
+        else:
+            self.alternatives_fn = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _apply(batch, self.lexicon, self.include_blocks)
+        return _apply(batch, self.lexicon, self.include_blocks, self.alternatives_fn)
 
 
 _PROCESS_LEXICON: Lexicon | None = None

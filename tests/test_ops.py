@@ -1,0 +1,213 @@
+"""Tests for the operator library: dedup, similarity, evaluation,
+transliteration/alternatives, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from jochre3_ocr_ray.functions.alternatives import build_alternatives
+from jochre3_ocr_ray.functions.transliterate import Transliterator
+from jochre3_ocr_ray.ops.dedup import (
+    _minhash,
+    _shingles,
+    _simhash,
+    ngram_jaccard,
+)
+from jochre3_ocr_ray.ops.evaluation import (
+    bag_of_words_cosine,
+    character_error_rate,
+    levenshtein,
+)
+
+
+class TestTransliterate:
+    def test_table(self):
+        t = Transliterator()
+        assert t.transliterate("שלום") == "shlum"
+        assert t.transliterate("וויי") == "vey"
+        assert t.transliterate("abc") == "abc"
+
+    def test_memo_deterministic(self):
+        t = Transliterator()
+        assert t.transliterate("ספר") == t.transliterate("ספר")
+
+    def test_alternatives_dedup_sorted(self):
+        t = Transliterator()
+        alts = build_alternatives("Hello", t)
+        assert alts == [{"purpose": "LOWER", "content": "hello"}]
+        alts = build_alternatives("שלום", t)
+        assert alts == [{"purpose": "ROMAN", "content": "shlum"}]
+        assert build_alternatives("...", t) == []
+        assert build_alternatives("hello", t) == []  # already lowercase
+
+
+class TestEvaluationMetrics:
+    def test_levenshtein(self):
+        assert levenshtein("kitten", "sitting") == 3
+        assert levenshtein("", "abc") == 3
+        assert levenshtein("abc", "abc") == 0
+
+    def test_cer(self):
+        assert character_error_rate("abcd", "abcf") == pytest.approx(0.25)
+        assert character_error_rate("", "") == 0.0
+        assert character_error_rate("x", "") == 1.0
+
+    def test_bow_cosine(self):
+        assert bag_of_words_cosine("a b c", "a b c") == pytest.approx(1.0)
+        assert bag_of_words_cosine("a a b", "a b") == pytest.approx(
+            (1 * 2 + 1 * 1) / (np.sqrt(5) * np.sqrt(2))
+        )
+        assert bag_of_words_cosine("", "x") == 0.0
+        assert bag_of_words_cosine("", "") == 1.0
+
+
+class TestDedupKernels:
+    def test_shingles(self):
+        s = _shingles("a b c", n=2)
+        assert len(s) == 2  # "a b", "b c"
+        assert _shingles("", 2) == set()
+        assert len(_shingles("one", 2)) == 1
+
+    def test_minhash_similar_texts_collide_more(self):
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = "the quick brown fox jumps over the lazy dog again and again!"
+        c = "completely different words entirely unrelated content here now"
+        sim_ab = (_minhash(_shingles(a)) == _minhash(_shingles(b))).mean()
+        sim_ac = (_minhash(_shingles(a)) == _minhash(_shingles(c))).mean()
+        assert sim_ab > 0.5 > sim_ac
+
+    def test_minhash_deterministic(self):
+        s = _shingles("stable input text")
+        assert (_minhash(s) == _minhash(set(s))).all()
+
+    def test_simhash_close_for_similar(self):
+        a = _simhash("the quick brown fox jumps over the lazy dog")
+        b = _simhash("the quick brown fox jumps over the lazy cat")
+        c = _simhash("zzz yyy xxx www vvv uuu ttt sss rrr qqq")
+        ham_ab = bin(a ^ b).count("1")
+        ham_ac = bin(a ^ c).count("1")
+        assert ham_ab < ham_ac
+
+    def test_ngram_jaccard(self):
+        assert ngram_jaccard("a b c", "a b c") == 1.0
+        assert ngram_jaccard("a b", "c d") == 0.0
+
+
+class TestMinhashPipeline:
+    def test_finds_planted_near_dups(self, ray_session, tmp_path):
+        """Plant near-duplicate pairs in a corpus; the LSH pipeline must
+        recover them and no false positives above threshold."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import q_dedup_minhash
+
+        rng = np.random.RandomState(3)
+        vocab = [f"w{i}" for i in range(500)]
+        texts, expected_pairs = [], set()
+        for i in range(40):
+            base = " ".join(rng.choice(vocab, 30))
+            texts.append(base)
+        # plant: doc 40/41 near-dup of doc 0/1 (one word changed)
+        for src, new in [(0, 40), (1, 41)]:
+            words = texts[src].split()
+            words[5] = "CHANGED"
+            texts.append(" ".join(words))
+            expected_pairs.add((src, new))
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        result = q_dedup_minhash(str(sf), threshold=0.5).to_pandas()
+        found = {(int(a), int(b)) for a, b in zip(result.id_a, result.id_b)}
+        assert expected_pairs <= found
+        # verify stage guarantees no below-threshold pairs
+        assert (result["jaccard"] >= 0.5).all()
+
+
+class TestAnnTopk:
+    def test_matches_brute_force(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.similarity import q_ann_cosine_topk
+
+        rng = np.random.RandomState(5)
+        n, d = 200, 16
+        mat = rng.standard_normal((n, d))
+        table = pa.table(
+            {
+                "vec_id": pa.array(range(n), type=pa.int64()),
+                "embedding": pa.array(
+                    [row.astype(np.float32).tolist() for row in mat],
+                    type=pa.list_(pa.float32()),
+                ),
+            }
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "embeddings.parquet")
+        result = q_ann_cosine_topk(str(sf)).to_pandas()
+        # brute force in float64 from the stored float32 values
+        stored = np.stack(
+            pq.read_table(sf / "embeddings.parquet")["embedding"].to_pylist()
+        ).astype(np.float64)
+        norm = stored / np.linalg.norm(stored, axis=1, keepdims=True)
+        for qid in range(5):
+            sims = norm[qid] @ norm.T
+            order = np.lexsort((np.arange(n), -sims))[:10]
+            got = result[result.query_id == qid].sort_values("rank")["vec_id"]
+            assert list(got) == list(order), f"query {qid}"
+
+
+class TestMultimodal:
+    def test_decode_stub_raises(self):
+        from jochre3_ocr_ray.ops.multimodal import decode_image
+
+        with pytest.raises(NotImplementedError):
+            decode_image(b"xx", "png")
+
+    def test_feature_extraction_deterministic(self, ray_session):
+        from jochre3_ocr_ray.ops.multimodal import fake_feature
+
+        f1, f2 = fake_feature(b"abc"), fake_feature(b"abc")
+        assert (f1 == f2).all()
+        assert len(f1) == 32
+        assert (np.abs(f1) <= 1.0).all()
+
+    def test_media_pipeline(self, ray_session):
+        from jochre3_ocr_ray.ops.multimodal import q_media_features
+
+        out = q_media_features("/root/testdata/sf0.001").to_pandas()
+        assert len(out) == 500
+        assert (out["n_bytes"] > 0).all()
+        assert out["feat_norm"].notna().all()
+
+
+class TestEvaluatePairs:
+    def test_mean_row_appended(self, ray_session):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.evaluation import evaluate_pairs
+
+        pairs = rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "conv_id": ["c1", "c1"],
+                    "turn_idx": [0, 1],
+                    "predicted": ["abc", "xyz"],
+                    "expected": ["abc", "xyw"],
+                }
+            )
+        )
+        out = evaluate_pairs(pairs).to_pandas()
+        assert len(out) == 3
+        mean = out[out.key == "__mean__"].iloc[0]
+        per = out[out.key != "__mean__"]
+        assert mean["cer"] == pytest.approx(per["cer"].mean(), abs=1e-6)
