@@ -67,6 +67,15 @@ def run_bench() -> dict:
     for f in files:  # warm page cache
         pq.read_table(f)
 
+    # untimed warmup: spawn Ray workers + import the library in them so
+    # the timed section measures steady-state compute, not cold start
+    import ray.data as rd
+    from jochre3_ocr_ray.stages.extract import extract_turns_batch
+
+    rd.read_parquet(files[0]).limit(2048).map_batches(
+        extract_turns_batch, batch_format="pyarrow", batch_size=64
+    ).materialize()
+
     import shutil
 
     work = f"/tmp/jochre3_bench_work_{NUM_CPUS}"

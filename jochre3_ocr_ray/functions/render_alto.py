@@ -1,0 +1,101 @@
+"""ALTO-style XML rendering + parsing — the OutputFormat round trip.
+
+Reference: ``core/output/OutputFormat.scala:14-42`` (Alto4 / Text /
+ProcessedText renderers) and ``Alto.fromXML`` / ``Page.fromXML``
+(``core/model/Alto.scala:42-72``, ``Page.scala:244-291``) — every node
+serializes to XML and parses back.
+
+Here one *turn* plays the page: its block/line/word hierarchy renders
+to an ALTO-4-shaped XML string (``TextBlock`` / ``TextLine`` /
+``String`` elements with char-offset spans standing in for pixel
+rectangles: HPOS=start, WIDTH=end-start), and ``parse_alto`` recovers
+the structure — round-trip tested. Rendering runs as a stateless
+``map_batches`` column producer; the parser is the re-ingestion path
+(read old outputs back into the engine).
+"""
+
+from __future__ import annotations
+
+from xml.sax.saxutils import quoteattr
+
+
+def render_alto(turn_id: str, blocks: list[dict], confidence: float) -> str:
+    """Serialize one turn's extraction tree to ALTO-shaped XML."""
+    parts = [
+        '<alto xmlns="http://www.loc.gov/standards/alto/ns-v4#">',
+        f"<Page ID={quoteattr(turn_id)} PC={quoteattr(f'{confidence:.6f}')}>",
+        "<PrintSpace>",
+    ]
+    for block in blocks:
+        parts.append(
+            f"<TextBlock ID={quoteattr(block['id'])} "
+            f"HPOS={quoteattr(str(block['span']['start']))} "
+            f"WIDTH={quoteattr(str(block['span']['end'] - block['span']['start']))}>"
+        )
+        for line in block["lines"]:
+            parts.append(
+                f"<TextLine HPOS={quoteattr(str(line['span']['start']))} "
+                f"WIDTH={quoteattr(str(line['span']['end'] - line['span']['start']))}>"
+            )
+            for w in line["words"]:
+                wc = "%.4f" % w["confidence"]
+                attrs = [
+                    f"CONTENT={quoteattr(w['text'])}",
+                    f"HPOS={quoteattr(str(w['span']['start']))}",
+                    f"WIDTH={quoteattr(str(w['span']['end'] - w['span']['start']))}",
+                    f"WC={quoteattr(wc)}",
+                ]
+                if w.get("subs_type"):
+                    attrs.append(f"SUBS_TYPE={quoteattr(w['subs_type'])}")
+                    attrs.append(f"SUBS_CONTENT={quoteattr(w['subs_content'])}")
+                parts.append(f"<String {' '.join(attrs)}/>")
+            parts.append("</TextLine>")
+        parts.append("</TextBlock>")
+    parts.append("</PrintSpace></Page></alto>")
+    return "".join(parts)
+
+
+def parse_alto(xml: str) -> dict:
+    """Parse ALTO-shaped XML back to {id, confidence, blocks} (the
+    ``Alto.fromXML`` analog). Uses stdlib ElementTree."""
+    import xml.etree.ElementTree as ET
+
+    ns = {"a": "http://www.loc.gov/standards/alto/ns-v4#"}
+    root = ET.fromstring(xml)
+    page = root.find("a:Page", ns)
+    blocks = []
+    for tb in page.iter("{http://www.loc.gov/standards/alto/ns-v4#}TextBlock"):
+        start = int(tb.get("HPOS"))
+        block = {
+            "id": tb.get("ID"),
+            "kind": "text",
+            "span": {"start": start, "end": start + int(tb.get("WIDTH"))},
+            "lines": [],
+        }
+        for tl in tb.iter("{http://www.loc.gov/standards/alto/ns-v4#}TextLine"):
+            lstart = int(tl.get("HPOS"))
+            line = {
+                "span": {"start": lstart, "end": lstart + int(tl.get("WIDTH"))},
+                "words": [],
+            }
+            for st in tl.iter("{http://www.loc.gov/standards/alto/ns-v4#}String"):
+                wstart = int(st.get("HPOS"))
+                line["words"].append(
+                    {
+                        "text": st.get("CONTENT"),
+                        "span": {
+                            "start": wstart,
+                            "end": wstart + int(st.get("WIDTH")),
+                        },
+                        "confidence": float(st.get("WC")),
+                        "subs_type": st.get("SUBS_TYPE") or "",
+                        "subs_content": st.get("SUBS_CONTENT") or "",
+                    }
+                )
+            block["lines"].append(line)
+        blocks.append(block)
+    return {
+        "id": page.get("ID"),
+        "confidence": float(page.get("PC")),
+        "blocks": blocks,
+    }

@@ -37,7 +37,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Min, Sum
 
-from .relational import _read, _round, _to_table
+from .relational import _read, _round, _to_table, partitioned_apply
 
 _WS = re.compile(r"\s+")
 
@@ -119,9 +119,13 @@ GROUP BY text
 
 # ----------------------------------------------------------- minhash lsh
 def minhash_candidate_pairs(
-    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dedup_pairs: bool = True,
 ) -> "ray.data.Dataset":
-    """documents -> deduped (id_a, id_b) LSH candidate pairs."""
+    """documents -> (id_a, id_b) LSH candidate pairs (deduped across
+    bands unless the caller fuses dedup into its own next stage)."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bands = [], []
@@ -138,17 +142,22 @@ def minhash_candidate_pairs(
 
     banded = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(group[id_col].unique())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
-        pairs = [(a, b) for i, a in enumerate(ids) for b in ids[i + 1 :]]
-        return pd.DataFrame(pairs, columns=["id_a", "id_b"])
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, group in part.groupby("band", sort=False):
+            ids = sorted(group[id_col].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    out.append((a, b))
+        return pd.DataFrame(out, columns=["id_a", "id_b"]).astype("int64")
 
-    pairs = banded.groupby("band").map_groups(bucket_pairs, batch_format="pandas")
-    # dedup pairs found in multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = partitioned_apply(banded, ["band"], bucket_pairs)
+    if not dedup_pairs:
+        return pairs
+    # dedup pairs found in multiple bands (hash-partitioned, vectorized)
+    return partitioned_apply(
+        pairs, ["id_a", "id_b"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]),
     )
 
 
@@ -159,17 +168,41 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.4) -> pa.Table:
     id->shingle-set map (small at test scale; at 100 TB the verify
     stage re-reads the two shards by id-range instead)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    docs = ds.to_pandas()
+
+    # shingle sets computed IN PARALLEL (map_batches) and merged into the
+    # broadcast verify map on the driver — at test scale the map fits in
+    # the object store; the 100 TB path re-reads pair shards by id-range
+    def shingle_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        sets = [
+            np.fromiter(s, dtype=np.int64, count=len(s)) if (s := _shingles(t)) else
+            np.empty(0, dtype=np.int64)
+            for t in batch["text"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array([a.tolist() for a in sets],
+                                     type=pa.list_(pa.int64())),
+            }
+        )
+
+    sh = _to_table(ds.map_batches(shingle_rows, batch_format="pyarrow",
+                                  batch_size=2048))
     shingle_map = {
-        int(r.doc_id): _shingles(r.text) for r in docs.itertuples()
+        int(i): set(s)
+        for i, s in zip(sh["doc_id"].to_pylist(), sh["shingles"].to_pylist())
     }
     map_ref = ray.put(shingle_map)
-    pairs = minhash_candidate_pairs(ds)
+    pairs = minhash_candidate_pairs(ds, dedup_pairs=False)
 
-    def verify(batch: pd.DataFrame) -> pd.DataFrame:
+    # single fused partition stage: pair-dedup (pairs found in several
+    # bands) + exact-Jaccard verification
+    def dedup_and_verify(part: pd.DataFrame) -> pd.DataFrame:
         smap = ray.get(map_ref)
+        part = part.drop_duplicates(["id_a", "id_b"])
         out = []
-        for a, b in zip(batch["id_a"], batch["id_b"]):
+        for a, b in zip(part["id_a"], part["id_b"]):
             sa, sb = smap[int(a)], smap[int(b)]
             union = len(sa | sb)
             j = len(sa & sb) / union if union else 0.0
@@ -179,7 +212,7 @@ def q_dedup_minhash(sf_dir: str, threshold: float = 0.4) -> pa.Table:
             {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
         )
 
-    verified = pairs.map_batches(verify, batch_format="pandas")
+    verified = partitioned_apply(pairs, ["id_a", "id_b"], dedup_and_verify)
     return _round(verified, {"jaccard": 4})
 
 
@@ -227,22 +260,24 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
 
     banded = ds.map_batches(sign, batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = rows["doc_id"].to_numpy()
-        sigs = rows["sig"].to_numpy(dtype=np.uint64)
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
-                if ham <= max_hamming:
-                    out.append((int(ids[i]), int(ids[j]), ham))
+        for _, group in part.groupby("segment", sort=False):
+            rows = group.drop_duplicates("doc_id").sort_values("doc_id")
+            ids = rows["doc_id"].to_numpy()
+            sigs = rows["sig"].to_numpy(dtype=np.uint64)
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
+                    if ham <= max_hamming:
+                        out.append((int(ids[i]), int(ids[j]), ham))
         return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype("int64")
 
-    pairs = banded.groupby("segment").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = partitioned_apply(banded, ["segment"], bucket_pairs)
     return _to_table(
-        pairs.groupby(["id_a", "id_b"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas"
+        partitioned_apply(
+            pairs, ["id_a", "id_b"],
+            lambda part: part.drop_duplicates(["id_a", "id_b"]),
         )
     )
 
@@ -313,28 +348,28 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9) -> pa.Table:
 
     banded = ds.map_batches(bucketize, batch_format="pandas", batch_size=4096)
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        group = group.drop_duplicates("vec_id").sort_values("vec_id")
-        if len(group) < 2:
-            return pd.DataFrame(
-                {"id_a": pd.Series(dtype="int64"),
-                 "id_b": pd.Series(dtype="int64"),
-                 "cos_sim": pd.Series(dtype="float64")}
-            )
-        mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-        mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ mat.T
-        ids = group["vec_id"].to_numpy()
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
         out = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if sims[i, j] >= threshold:
-                    out.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim"])
+        for _, group in part.groupby("bucket", sort=False):
+            group = group.drop_duplicates("vec_id").sort_values("vec_id")
+            if len(group) < 2:
+                continue
+            mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+            mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = mat @ mat.T
+            ids = group["vec_id"].to_numpy()
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if sims[i, j] >= threshold:
+                        out.append((int(ids[i]), int(ids[j]), float(sims[i, j])))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "cos_sim"]).astype(
+            {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+        )
 
-    pairs = banded.groupby("bucket").map_groups(verify, batch_format="pandas")
-    deduped = pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
+    pairs = partitioned_apply(banded, ["bucket"], verify)
+    deduped = partitioned_apply(
+        pairs, ["id_a", "id_b"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]),
     )
     return _round(deduped, {"cos_sim": 4})
 

@@ -40,6 +40,43 @@ def _to_table(ds) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+def partitioned_apply(
+    ds,
+    keys: list[str],
+    fn,
+    num_parts: int = 64,
+    batch_format: str = "pandas",
+):
+    """Group-wise apply without per-group Python overhead.
+
+    ``groupby(keys).map_groups`` invokes Python once per GROUP — ruinous
+    for high-cardinality keys. Instead: add a stable hash-partition
+    column over ``keys``, ``groupby('_part')`` (num_parts groups), and
+    run ``fn`` once per PARTITION; ``fn`` receives every row of all
+    groups hashing to that partition and does the per-group work with a
+    vectorized pandas groupby. Same co-location guarantee as a grouped
+    shuffle; ~num_parts Python invocations total. Hot single keys can
+    still skew a partition — salt the key upstream if so."""
+    import pandas as pd
+    import zlib
+
+    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
+        joined = batch[keys[0]].astype(str)
+        for k in keys[1:]:
+            joined = joined + "\x00" + batch[k].astype(str)
+        batch = batch.copy()
+        batch["_part"] = [
+            zlib.crc32(v.encode("utf-8")) % num_parts for v in joined
+        ]
+        return batch
+
+    def run_part(group: pd.DataFrame) -> pd.DataFrame:
+        return fn(group.drop(columns=["_part"]))
+
+    parted = ds.map_batches(add_part, batch_format="pandas")
+    return parted.groupby("_part").map_groups(run_part, batch_format=batch_format)
+
+
 def _round(table, spec: dict[str, int]) -> pa.Table:
     if not isinstance(table, pa.Table):
         table = _to_table(table)
@@ -92,17 +129,22 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    result = (
-        partials.groupby(["l_returnflag", "l_linestatus"])
-        .aggregate(
-            Sum("l_quantity_sum", alias_name="sum_qty"),
-            Sum("l_extendedprice_sum", alias_name="sum_base_price"),
-            Sum("disc_price_sum", alias_name="sum_disc_price"),
-            Sum("l_quantity_count", alias_name="count_order"),
-        )
-        
+    # the combiner collapsed each block to <=6 rows: the final combine is
+    # a driver-side pyarrow group_by over a few dozen partial rows (no
+    # Ray shuffle at all — cardinality is bounded by the group domain)
+    ptab = _to_table(partials)
+    result = ptab.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+        [
+            ("l_quantity_sum", "sum"),
+            ("l_extendedprice_sum", "sum"),
+            ("disc_price_sum", "sum"),
+            ("l_quantity_count", "sum"),
+        ]
     )
-    result = _to_table(result)
+    result = result.rename_columns(
+        ["l_returnflag", "l_linestatus", "sum_qty", "sum_base_price",
+         "sum_disc_price", "count_order"]
+    )
     avg_qty = pc.divide(
         pc.cast(result["sum_qty"], pa.float64()),
         pc.cast(result["count_order"], pa.float64()),
@@ -150,21 +192,27 @@ def q_top_customers(sf_dir: str) -> pa.Table:
         )
     )
 
-    customer_ref = ray.put(
-        _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
-    )
+    # distributed top-k: each block of the grouped result emits its own
+    # top 10, the driver reduces <=10*n_blocks finalists (never a global
+    # Ray sort), then the 10 winners pick up names from the dimension
+    # table with a driver-side merge
+    def local_topk(batch):
+        return batch.sort_values(
+            ["total_spent", "o_custkey"], ascending=[False, True]
+        ).head(10)
 
-    def attach_name(batch):
-        import pandas as pd  # noqa: F401
-
-        cust = ray.get(customer_ref)
-        return batch.merge(
-            cust, left_on="o_custkey", right_on="c_custkey", how="inner"
-        )[["c_custkey", "c_name", "total_spent", "n_orders"]]
-
-    joined = per_cust.map_batches(attach_name, batch_format="pandas")
-    top = joined.sort(["total_spent", "c_custkey"], descending=[True, False]).limit(10)
-    return _round(top, {"total_spent": 2})
+    finalists = _to_table(
+        per_cust.map_batches(local_topk, batch_format="pandas")
+    ).to_pandas()
+    top = finalists.sort_values(
+        ["total_spent", "o_custkey"], ascending=[False, True]
+    ).head(10)
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"]).to_pandas()
+    top = top.merge(cust, left_on="o_custkey", right_on="c_custkey")[
+        ["c_custkey", "c_name", "total_spent", "n_orders"]
+    ]
+    return _round(pa.Table.from_pandas(top, preserve_index=False),
+                  {"total_spent": 2})
 
 
 Q_TOP_CUSTOMERS_SQL = """
@@ -205,15 +253,12 @@ def q_revenue_by_nation(sf_dir: str) -> pa.Table:
         return g
 
     partials = orders.map_batches(partial, batch_format="pandas", batch_size=65536)
-    result = (
-        partials.groupby("n_name")
-        .aggregate(
-            Sum("revenue", alias_name="revenue"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
-        
+    pdf = _to_table(partials).to_pandas()
+    result = pdf.groupby("n_name", as_index=False).agg(
+        revenue=("revenue", "sum"), n_orders=("n_orders", "sum")
     )
-    return _round(result, {"revenue": 2})
+    return _round(pa.Table.from_pandas(result, preserve_index=False),
+                  {"revenue": 2})
 
 
 Q_REVENUE_BY_NATION_SQL = """
@@ -242,14 +287,11 @@ def q_events_daily(sf_dir: str) -> pa.Table:
         )
 
     partials = events.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    result = (
-        partials.groupby(["event_type", "day"])
-        .aggregate(
-            Sum("value_sum", alias_name="total_value"),
-            Sum("value_count", alias_name="n_events"),
-        )
-        
+    ptab = _to_table(partials)
+    result = ptab.group_by(["event_type", "day"]).aggregate(
+        [("value_sum", "sum"), ("value_count", "sum")]
     )
+    result = result.rename_columns(["event_type", "day", "total_value", "n_events"])
     return _round(result, {"total_value": 4})
 
 
@@ -317,8 +359,20 @@ def q_top_parts(sf_dir: str) -> pa.Table:
         .groupby("l_partkey")
         .aggregate(Sum("l_quantity_sum", alias_name="total_qty"))
     )
-    top = per_part.sort(["total_qty", "l_partkey"], descending=[True, False]).limit(10)
-    return _round(top, {"total_qty": 2})
+
+    def local_topk(batch):
+        return batch.sort_values(
+            ["total_qty", "l_partkey"], ascending=[False, True]
+        ).head(10)
+
+    finalists = _to_table(
+        per_part.map_batches(local_topk, batch_format="pandas")
+    ).to_pandas()
+    top = finalists.sort_values(
+        ["total_qty", "l_partkey"], ascending=[False, True]
+    ).head(10)
+    return _round(pa.Table.from_pandas(top, preserve_index=False),
+                  {"total_qty": 2})
 
 
 Q_TOP_PARTS_SQL = """
@@ -343,21 +397,19 @@ def q_event_sessions(sf_dir: str) -> pa.Table:
 
     events = _read(sf_dir, "events", columns=["user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        ts = group["ts"].sort_values().to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        n_sessions = 1 + int((gaps > 1800 * 1_000_000).sum())
-        return pd.DataFrame(
-            {
-                "user_id": [group["user_id"].iloc[0]],
-                "n_events": [len(group)],
-                "n_sessions": [n_sessions],
-            }
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        out = {"user_id": [], "n_events": [], "n_sessions": []}
+        for user_id, group in part.groupby("user_id", sort=False):
+            ts = group["ts"].sort_values().to_numpy()
+            gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
+            out["user_id"].append(user_id)
+            out["n_events"].append(len(group))
+            out["n_sessions"].append(1 + int((gaps > 1800 * 1_000_000).sum()))
+        return pd.DataFrame(out).astype(
+            {"user_id": "int64", "n_events": "int64", "n_sessions": "int64"}
         )
 
-    return _to_table(
-        events.groupby("user_id").map_groups(sessions, batch_format="pandas")
-    )
+    return _to_table(partitioned_apply(events, ["user_id"], sessions))
 
 
 Q_EVENT_SESSIONS_SQL = """

@@ -54,19 +54,34 @@ def build_extraction(
     include_alternatives: bool = False,
     batch_size: int = 256,
     concurrency=(2, 8),
+    use_actors: bool = False,
 ) -> "ray.data.Dataset":
-    """Attach the extraction stage to an input Dataset (lazy)."""
-    return ds.map_batches(
-        ExtractTurns,
-        fn_constructor_kwargs={
-            "include_blocks": include_blocks,
-            "include_alternatives": include_alternatives,
-        },
-        batch_format="pyarrow",
-        batch_size=batch_size,
-        concurrency=concurrency,
-        num_cpus=1,
-    )
+    """Attach the extraction stage to an input Dataset (lazy).
+
+    ``use_actors=False`` (default) runs the kernel as stateless tasks
+    with a process-global lexicon: Ray reuses worker processes across
+    Dataset executions, so state still loads once per worker but there
+    is no actor-pool spin-up per run — measurably faster when the unit
+    of work is small. ``use_actors=True`` switches to the actor-pool
+    form (``ExtractTurns``), the right shape when per-worker state is
+    expensive (a real model) or alternatives/transliteration tables are
+    enabled."""
+    if use_actors or include_alternatives:
+        return ds.map_batches(
+            ExtractTurns,
+            fn_constructor_kwargs={
+                "include_blocks": include_blocks,
+                "include_alternatives": include_alternatives,
+            },
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+            num_cpus=1,
+        )
+    from ..stages.extract import extract_turns_batch, extract_turns_batch_no_blocks
+
+    fn = extract_turns_batch if include_blocks else extract_turns_batch_no_blocks
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
 
 
 def run_extraction(
@@ -78,28 +93,43 @@ def run_extraction(
     include_blocks: bool = True,
     batch_size: int = 256,
     concurrency=(2, 8),
+    use_actors: bool = False,
 ) -> dict:
     """Resumable shard-at-a-time extraction run. Returns run metrics."""
+    from concurrent.futures import ThreadPoolExecutor
+
     files = _input_files(input_dir)
     shards = _shard_groups(files, num_shards)
     log = LineageLog(out_dir)
-    total_rows = 0
-    skipped = 0
     t0 = time.perf_counter()
-    for i, shard_files in enumerate(shards):
-        shard_id = f"{i:05d}"
-        if resume and log.is_complete(shard_id):
-            skipped += 1
-            continue
-        t_shard = time.perf_counter()
-        tmp = log.begin_shard(shard_id)
-        ds = ray.data.read_parquet(shard_files)
-        out = build_extraction(
-            ds,
+
+    pending = [
+        (i, shard_files)
+        for i, shard_files in enumerate(shards)
+        if not (resume and log.is_complete(f"{i:05d}"))
+    ]
+    skipped = len(shards) - len(pending)
+
+    # Dataset CONSTRUCTION stays in the main thread: read_parquet's path
+    # resolution does lazy imports that are not thread-safe when the
+    # optional dependency is absent (fsspec http). Only the lazy
+    # EXECUTION (write_parquet) runs concurrently.
+    prepared: dict[int, "ray.data.Dataset"] = {}
+    for i, shard_files in pending:
+        prepared[i] = build_extraction(
+            ray.data.read_parquet(shard_files),
             include_blocks=include_blocks,
             batch_size=batch_size,
             concurrency=concurrency,
+            use_actors=use_actors,
         )
+
+    def run_shard(item: tuple[int, list[str]]) -> int:
+        i, shard_files = item
+        shard_id = f"{i:05d}"
+        t_shard = time.perf_counter()
+        tmp = log.begin_shard(shard_id)
+        out = prepared[i]
         out.write_parquet(str(tmp))
         rows = sum(
             f.metadata.num_rows
@@ -113,11 +143,22 @@ def run_extraction(
             rows_out=rows,
             wall_sec=time.perf_counter() - t_shard,
         )
-        total_rows += rows
+        return rows
+
+    # shards are independent streaming runs; executing a few concurrently
+    # (driver threads — Ray datasets share the cluster with backpressure)
+    # overlaps their fixed scheduling costs. Failure of one shard leaves
+    # the others' committed manifests intact (resume granularity).
+    if len(pending) > 1:
+        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+            rows_done = list(pool.map(run_shard, pending))
+    else:
+        rows_done = [run_shard(item) for item in pending]
+
     return {
         "shards": len(shards),
         "skipped_shards": skipped,
-        "rows": total_rows,
+        "rows": sum(rows_done),
         "wall_sec": time.perf_counter() - t0,
     }
 
@@ -141,11 +182,24 @@ def read_extraction(out_dir: str | Path) -> "ray.data.Dataset":
     return ray.data.read_parquet(files)
 
 
-def run_assembly(extraction_dir: str | Path, out_dir: str | Path) -> dict:
-    """Second stage: per-conversation documents (the one shuffle)."""
+def run_assembly(
+    extraction_dir: str | Path,
+    out_dir: str | Path,
+    strategy: str = "sorted",
+) -> dict:
+    """Second stage: per-conversation documents (the one shuffle).
+
+    ``sorted`` (default): range-shuffle sort + vectorized per-batch
+    combine; ``salted``: two-phase salted groupby (see stages/assemble
+    docstrings — identical output, different shuffle shape)."""
+    from ..stages.assemble import assemble_conversations_sorted
+
     t0 = time.perf_counter()
     extracted = read_extraction(extraction_dir)
-    conversations = assemble_conversations(extracted)
+    if strategy == "sorted":
+        conversations = assemble_conversations_sorted(extracted)
+    else:
+        conversations = assemble_conversations(extracted)
     Path(out_dir).mkdir(parents=True, exist_ok=True)
     conversations.write_parquet(str(out_dir))
     return {"wall_sec": time.perf_counter() - t0}
@@ -160,6 +214,7 @@ def run_pipeline(
     include_blocks: bool = True,
     batch_size: int = 256,
     concurrency=(2, 8),
+    use_actors: bool = False,
 ) -> dict:
     """End-to-end: extraction + conversation assembly."""
     work = Path(work_dir)
@@ -171,6 +226,7 @@ def run_pipeline(
         include_blocks=include_blocks,
         batch_size=batch_size,
         concurrency=concurrency,
+        use_actors=use_actors,
     )
     m2 = run_assembly(work / "turns", work / "conversations")
     return {"extraction": m1, "assembly": m2}

@@ -67,6 +67,48 @@ def _assemble_final(group: pd.DataFrame) -> pd.DataFrame:
     )
 
 
+def assemble_conversations_sorted(
+    extracted: "ray.data.Dataset",
+) -> "ray.data.Dataset":
+    """Sort-based assembly: global ``sort(conv_id, turn_idx)`` (range
+    shuffle), then a VECTORIZED per-batch pre-combine — each sorted
+    batch covers contiguous (conv_id, turn_idx) ranges, so its per-conv
+    segments are contiguous; segments carry their ``min turn_idx`` and
+    the final small ``groupby(conv_id)`` concatenates segments in
+    min-turn order. Equivalent output to ``assemble_conversations``
+    but phase 1 runs one pandas groupby per BATCH instead of one
+    Python call per conversation — the per-group overhead of
+    ``map_groups`` is the bottleneck when conversations are small."""
+    projected = extracted.select_columns(
+        ["conv_id", "turn_idx", "extracted_text", "processed_text",
+         "n_words", "confidence"]
+    )
+    ordered = projected.sort(["conv_id", "turn_idx"])
+
+    def combine_batch(batch: pd.DataFrame) -> pd.DataFrame:
+        log_conf = batch["n_words"].to_numpy() * np.log(
+            batch["confidence"].clip(lower=1e-300).to_numpy()
+        )
+        batch = batch.assign(_log_conf=log_conf)
+        g = batch.groupby("conv_id", sort=False)
+        out = g.agg(
+            salt=("turn_idx", "min"),
+            n_turns=("turn_idx", "size"),
+            n_words=("n_words", "sum"),
+            text_part=("extracted_text", "\n\n".join),
+            processed_part=("processed_text", "\n\n".join),
+            log_conf=("_log_conf", "sum"),
+        ).reset_index()
+        return out
+
+    partials = ordered.map_batches(
+        combine_batch, batch_format="pandas", batch_size=8192
+    )
+    return partials.groupby("conv_id").map_groups(
+        _assemble_final, batch_format="pandas"
+    )
+
+
 def assemble_conversations(
     extracted: "ray.data.Dataset", chunk: int = DEFAULT_CHUNK
 ) -> "ray.data.Dataset":

@@ -96,9 +96,19 @@ class ExtractTurns:
 _PROCESS_LEXICON: Lexicon | None = None
 
 
-def extract_turns_batch(batch: pa.Table) -> pa.Table:
-    """Stateless-task variant (same semantics as ``ExtractTurns``)."""
+def _process_lexicon() -> Lexicon:
     global _PROCESS_LEXICON
     if _PROCESS_LEXICON is None:
         _PROCESS_LEXICON = Lexicon.load()
-    return _apply(batch, _PROCESS_LEXICON, True)
+    return _PROCESS_LEXICON
+
+
+def extract_turns_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant (same semantics as ``ExtractTurns``)."""
+    return _apply(batch, _process_lexicon(), True)
+
+
+def extract_turns_batch_no_blocks(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant with the nested column projected out
+    (the glyphRemover analog, ``AltoTransformer.scala:80-82``)."""
+    return _apply(batch, _process_lexicon(), False)

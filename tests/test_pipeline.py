@@ -9,6 +9,7 @@ import glob
 import json
 import shutil
 
+import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
@@ -103,6 +104,26 @@ class TestConversationAssembly:
         assert len(merged) == len(default)
         assert (merged["conversation_text_a"] == merged["conversation_text_b"]).all()
         assert (merged["n_words_a"] == merged["n_words_b"]).all()
+
+    def test_sorted_strategy_equals_salted(self, pipeline_run, ray_session):
+        """The sort-based assembly produces identical conversations."""
+        import ray.data as rd
+
+        from jochre3_ocr_ray.stages.assemble import assemble_conversations_sorted
+
+        work, _ = pipeline_run
+        extracted = read_extraction(work / "turns")
+        sorted_out = assemble_conversations_sorted(extracted).to_pandas()
+        default = rd.read_parquet(str(work / "conversations")).to_pandas()
+        merged = sorted_out.merge(default, on="conv_id", suffixes=("_a", "_b"))
+        assert len(merged) == len(default) == len(sorted_out)
+        assert (merged["conversation_text_a"] == merged["conversation_text_b"]).all()
+        assert (
+            merged["processed_conversation_text_a"]
+            == merged["processed_conversation_text_b"]
+        ).all()
+        assert (merged["n_turns_a"] == merged["n_turns_b"]).all()
+        assert np.allclose(merged["confidence_a"], merged["confidence_b"])
 
 
 class TestResume:

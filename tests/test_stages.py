@@ -1,0 +1,106 @@
+"""Tests for auxiliary stages: payload decode, ALTO rendering stage,
+input reader."""
+
+from __future__ import annotations
+
+import base64
+
+import pyarrow as pa
+import pytest
+
+from jochre3_ocr_ray.functions.render_alto import parse_alto, render_alto
+from jochre3_ocr_ray.stages.decode import decode_payloads, render_alto_column
+
+
+def _turn_batch(rows):
+    from datetime import datetime
+
+    return pa.table(
+        {
+            "conv_id": pa.array([r.get("conv_id", "c") for r in rows]),
+            "turn_idx": pa.array(
+                [r.get("turn_idx", i) for i, r in enumerate(rows)], type=pa.int32()
+            ),
+            "role": pa.array([r.get("role", "user") for r in rows]),
+            "text": pa.array([r["text"] for r in rows]),
+            "tool": pa.array([r.get("tool", "") for r in rows]),
+            "ts": pa.array(
+                [datetime(2026, 1, 1)] * len(rows), type=pa.timestamp("us")
+            ),
+        }
+    )
+
+
+class TestDecodePayloads:
+    def test_base64_unwrapped(self):
+        encoded = "base64:" + base64.b64encode(b"hello world").decode()
+        out = decode_payloads(_turn_batch([{"text": encoded}]))
+        assert out["text"][0].as_py() == "hello world"
+
+    def test_invalid_base64_passthrough(self):
+        out = decode_payloads(_turn_batch([{"text": "base64:!!notb64!!"}]))
+        assert out["text"][0].as_py() == "base64:!!notb64!!"
+
+    def test_tool_json_envelope(self):
+        out = decode_payloads(
+            _turn_batch(
+                [{"text": '{"output": "result text", "status": 0}', "role": "tool"}]
+            )
+        )
+        assert out["text"][0].as_py() == "result text"
+
+    def test_non_tool_json_untouched(self):
+        payload = '{"output": "x"}'
+        out = decode_payloads(_turn_batch([{"text": payload, "role": "user"}]))
+        assert out["text"][0].as_py() == payload
+
+    def test_plain_passthrough(self):
+        out = decode_payloads(_turn_batch([{"text": "plain"}]))
+        assert out["text"][0].as_py() == "plain"
+
+
+class TestAltoRoundTrip:
+    def test_full_round_trip(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+
+        r = extract_turn('Jimi Hend-\nrix "Experience" & more\n\nblock 2!', 7, lexicon)
+        xml = render_alto("c_7", r["blocks"], r["confidence"])
+        back = parse_alto(xml)
+        assert back["id"] == "c_7"
+        assert back["confidence"] == pytest.approx(r["confidence"], abs=1e-6)
+        assert len(back["blocks"]) == len(r["blocks"])
+        for b1, b2 in zip(back["blocks"], r["blocks"]):
+            assert (b1["id"], b1["span"]) == (b2["id"], b2["span"])
+            for l1, l2 in zip(b1["lines"], b2["lines"]):
+                assert l1["span"] == l2["span"]
+                for w1, w2 in zip(l1["words"], l2["words"]):
+                    assert w1["text"] == w2["text"]
+                    assert w1["span"] == w2["span"]
+                    assert w1["subs_type"] == w2["subs_type"]
+                    assert w1["subs_content"] == w2["subs_content"]
+
+    def test_alto_column_stage(self, ray_session, lexicon):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+
+        ds = rd.from_arrow(
+            _turn_batch([{"text": "some plain text"}, {"text": ""}])
+        )
+        extracted = build_extraction(ds)
+        with_xml = extracted.map_batches(
+            render_alto_column, batch_format="pyarrow"
+        ).to_pandas()
+        assert with_xml["alto_xml"].str.startswith("<alto").all()
+        parsed = parse_alto(with_xml["alto_xml"].iloc[0])
+        assert parsed["blocks"]
+
+
+class TestReader:
+    def test_pattern_and_limit(self, ray_session, small_corpus):
+        from jochre3_ocr_ray.sources.reader import read_transcripts
+
+        ds = read_transcripts(small_corpus, limit=10)
+        assert ds.count() == 10
+        with pytest.raises(FileNotFoundError):
+            read_transcripts(small_corpus, pattern=r"nope-.*")
