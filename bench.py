@@ -67,13 +67,17 @@ def run_bench() -> dict:
     for f in files:  # warm page cache
         pq.read_table(f)
 
-    # untimed warmup: spawn Ray workers + import the library in them so
-    # the timed section measures steady-state compute, not cold start
+    # untimed warmup: spawn the FULL worker pool (one task wave per CPU)
+    # and import the library in each worker, so the timed section
+    # measures steady-state compute, not cold start
     import ray.data as rd
     from jochre3_ocr_ray.stages.extract import extract_turns_batch
 
-    rd.read_parquet(files[0]).limit(2048).map_batches(
-        extract_turns_batch, batch_format="pyarrow", batch_size=64
+    rd.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 4).map_batches(
+        lambda b: b, num_cpus=1
+    ).materialize()
+    rd.read_parquet(files[0]).limit(4096).map_batches(
+        extract_turns_batch, batch_format="pyarrow", batch_size=128
     ).materialize()
 
     import shutil
@@ -92,16 +96,18 @@ def run_bench() -> dict:
     )
     headline_sec = time.perf_counter() - t0
 
-    # ---- per-query timings over the sf dir
-    queries = entry_mod.queries()
+    # ---- per-query timings over the sf dir (skipped in the scaling
+    # subprocesses — scaling measures the headline pipeline only)
     query_secs: dict[str, float] = {}
-    for name in QUERY_NAMES:
-        fn = queries[name]
-        t0 = time.perf_counter()
-        result = fn(SF_DIR)
-        if hasattr(result, "materialize"):
-            result = result.materialize()
-        query_secs[name] = round(time.perf_counter() - t0, 3)
+    if not os.environ.get("GRAFT_HEADLINE_ONLY"):
+        queries = entry_mod.queries()
+        for name in QUERY_NAMES:
+            fn = queries[name]
+            t0 = time.perf_counter()
+            result = fn(SF_DIR)
+            if hasattr(result, "materialize"):
+                result = result.materialize()
+            query_secs[name] = round(time.perf_counter() - t0, 3)
 
     ray.shutdown()
     return {
@@ -117,8 +123,10 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -128,6 +136,13 @@ def run_scaling() -> dict:
             cwd=os.path.dirname(os.path.abspath(__file__)),
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
+
+    def run(ncpu: int) -> dict:
+        # best-of-N: this sandbox is a shared VM with bursty neighbor
+        # interference; the minimum is the least-noisy estimate of the
+        # pipeline's actual cost at each parallelism level
+        results = [run_once(ncpu) for _ in range(repeats)]
+        return min(results, key=lambda r: r["value"])
 
     lo, hi = 8, 32
     r_lo, r_hi = run(lo), run(hi)

@@ -170,21 +170,65 @@ def _render_block_processed(lines: list[_Line]) -> str:
     return "".join(out)
 
 
+def dominant_language(lines: list["_Line"]) -> str:
+    """Majority-vote script over words — the per-line/block/page
+    language majority-vote fixup analog
+    (``FullSegmentationGuesser.scala:277-360``). Votes: ``rtl`` (word
+    would render RTL), ``latin``, else abstain; ties go to the first
+    to reach the max (argMaxFirst, ``MathUtils.scala:28-34``)."""
+    counts: dict[str, int] = {}
+    order: list[str] = []
+    for line in lines:
+        for w in line.words:
+            if is_rtl_line(w.text):
+                vote = "rtl"
+            elif any("a" <= c.lower() <= "z" for c in w.text):
+                vote = "latin"
+            else:
+                continue
+            if vote not in counts:
+                counts[vote] = 0
+                order.append(vote)
+            counts[vote] += 1
+    if not counts:
+        return ""
+    best = max(counts.values())
+    for vote in order:  # first-to-reach-max wins
+        if counts[vote] == best:
+            return vote
+    return ""
+
+
 def extract_turn(
-    text: str, turn_idx: int, lex: Lexicon, alternatives_fn=None
+    text: str,
+    turn_idx: int,
+    lex: Lexicon,
+    alternatives_fn=None,
+    *,
+    simplifier=None,
+    segmenter=None,
 ) -> dict:
     """Run the full extraction chain on one turn payload.
 
-    ``alternatives_fn(word_text) -> list[{"purpose","content"}]`` is the
-    optional addStringAlternatives hook (``AltoTransformer.scala:62-67``);
-    None emits empty lists.
+    Extension hooks (the reference's pluggable-service surface,
+    SURVEY.md §2.10 — ``TextSimplifier`` / ``Segmenter`` /
+    ``AltoTransformer.getAlternatives``):
+
+    * ``alternatives_fn(word_text) -> list[{"purpose","content"}]`` —
+      addStringAlternatives hook (``AltoTransformer.scala:62-67``).
+    * ``simplifier(text) -> str`` — normalization override
+      (``TextSimplifier.scala:3-9``); default ``normalize.simplify``.
+    * ``segmenter(text) -> list[SegmentedBlock]`` — segmentation
+      override (``Segmenter.scala:9-26``); default DOM-heuristic
+      ``segmenter.segment``.
     """
-    normalized = simplify(text or "")
-    seg_blocks = segment(normalized)
+    normalized = (simplifier or simplify)(text or "")
+    seg_blocks = (segmenter or segment)(normalized)
 
     blocks_out = []
     raw_parts: list[str] = []
     processed_parts: list[str] = []
+    all_lines: list[_Line] = []
     offset = 0
     log_conf_sum = 0.0
     n_words = 0
@@ -197,6 +241,7 @@ def extract_turn(
             continue
         _resolve_hyphenation(lines, lex)
         _score_words(lines, lex)
+        all_lines.extend(lines)
         if raw_parts:
             offset += 2  # "\n\n" between blocks
         block_start = offset
@@ -245,6 +290,7 @@ def extract_turn(
         "processed_text": "\n".join(processed_parts),
         "blocks": blocks_out,
         "confidence": confidence,
+        "lang": dominant_language(all_lines),
         "n_blocks": len(blocks_out),
         "n_lines": n_lines,
         "n_words": n_words,

@@ -117,6 +117,46 @@ def sort_reading_order(items: list, rect_of, rtl: bool = False) -> list:
     return out
 
 
+def place_in_containers(
+    children: list,
+    containers: list,
+    rect_of,
+    container_rect_of,
+    threshold: float = 0.5,
+) -> dict[int, list]:
+    """Assign each child rectangle to the container it most overlaps.
+
+    The geometric containment join at the heart of the reference's
+    segmentation (``placeRectanglesInTextBlocks``,
+    ``FullYoloSegmenter.scala:581-709``): candidate containers are
+    found by binary search on interval bounds (the reference keeps 4
+    sorted indexes, ``getIntersectingBlocks``/``findLimit``
+    ``FullYoloSegmenter.scala:711-798``); the winner is the container
+    with max percentage-intersection of the child, if above
+    ``threshold``. Unassigned children are dropped (the reference
+    collects them as orphans). Returns ``{container_index: [child, …]}``
+    with children in input order.
+    """
+    import bisect
+
+    order = sorted(range(len(containers)), key=lambda i: container_rect_of(containers[i]).left)
+    lefts = [container_rect_of(containers[i]).left for i in order]
+    assigned: dict[int, list] = {}
+    for child in children:
+        crect = rect_of(child)
+        # candidates: containers whose left edge is left of the child's
+        # right edge (binary search), then filtered by real intersection
+        hi = bisect.bisect_right(lefts, crect.right)
+        best_idx, best_pct = -1, threshold
+        for oi in order[:hi]:
+            pct = crect.percentage_intersection(container_rect_of(containers[oi]))
+            if pct > best_pct:
+                best_idx, best_pct = oi, pct
+        if best_idx >= 0:
+            assigned.setdefault(best_idx, []).append(child)
+    return assigned
+
+
 def remove_overlaps_unordered(
     blocks: list[tuple[Rectangle, float, object]],
     overlap_threshold: float = 0.2,

@@ -75,3 +75,19 @@ def is_rtl_line(line: str) -> bool:
 def reverse_digit_runs(word: str) -> str:
     """Reverse each maximal digit run (with ./, separators) in a word."""
     return _DIGIT_RUN.sub(lambda m: m.group(0)[::-1], word)
+
+
+def string_to_chars(text: str) -> list[str]:
+    """Split into user-perceived characters, keeping combining marks
+    attached to their base char — the ``stringToChars`` analog
+    (reference ``core/utils/StringUtils.scala``). The glyph-level
+    splitter: one output element per glyph."""
+    import unicodedata
+
+    out: list[str] = []
+    for ch in text:
+        if out and unicodedata.combining(ch):
+            out[-1] += ch
+        else:
+            out.append(ch)
+    return out

@@ -72,6 +72,7 @@ EXTRACTION_SCHEMA = pa.schema(
         pa.field("processed_text", pa.string()),
         pa.field("blocks", BLOCKS_TYPE),
         pa.field("confidence", pa.float64()),
+        pa.field("lang", pa.string()),
         pa.field("n_blocks", pa.int32()),
         pa.field("n_lines", pa.int32()),
         pa.field("n_words", pa.int32()),

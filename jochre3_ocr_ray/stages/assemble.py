@@ -10,14 +10,19 @@ Skew: conversation sizes are Zipf-ish; a hot conv_id with millions of
 turns would concentrate one group on one worker. Assembly therefore
 runs in TWO phases (salted pre-aggregation before the wide shuffle):
 
-1. ``groupby(conv_id, salt)`` where ``salt = turn_idx // chunk`` —
+1. group by ``(conv_id, salt)`` where ``salt = turn_idx // chunk`` —
    partial in-order segments, bounding any single group to ``chunk``
    turns;
-2. ``groupby(conv_id)`` over the ~chunk×-smaller partials, ordered by
+2. group by ``conv_id`` over the ~chunk×-smaller partials, ordered by
    ``salt``, concatenated into the final conversation document.
 
-Both phases are pandas ``map_groups`` (per-group sort + join — the
-vectorizable part is the string join, which pandas does in C).
+Both phases use the hash-PARTITIONED apply pattern (one Python call
+per partition, vectorized pandas groupby inside) rather than
+``map_groups``'s one-call-per-group — at 10^12 turns the per-group
+Python overhead, not the shuffle, is the bottleneck.
+
+``assemble_conversations_sorted`` is the alternative shuffle shape:
+one global range-sort, then batch-contiguous pre-combine.
 """
 
 from __future__ import annotations
@@ -28,42 +33,99 @@ import pandas as pd
 import ray.data
 
 DEFAULT_CHUNK = 1024
+NUM_PARTS = 64
+
+_PROJECT_COLS = [
+    "conv_id", "turn_idx", "extracted_text", "processed_text",
+    "n_words", "confidence",
+]
 
 
-def _assemble_partial(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("turn_idx", kind="mergesort")
-    n_words = int(group["n_words"].sum())
-    # carry confidence in log space so the final geometric mean is exact
-    log_conf = float(
-        (group["n_words"] * np.log(group["confidence"].clip(lower=1e-300))).sum()
+def _with_salt_and_logconf(extracted: "ray.data.Dataset", chunk: int):
+    projected = extracted.select_columns(_PROJECT_COLS)
+
+    def prep(batch):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import zlib
+
+        salt = pc.cast(pc.divide(batch["turn_idx"], chunk), pa.int32())
+        # carry confidence in log space weighted by word count so the
+        # final geometric mean is exact across partial merges
+        log_conf = pc.multiply(
+            pc.cast(batch["n_words"], pa.float64()),
+            pc.ln(pc.max_element_wise(batch["confidence"], 1e-300)),
+        )
+        part = pa.array(
+            [
+                zlib.crc32(f"{c}\x00{s}".encode()) % NUM_PARTS
+                for c, s in zip(
+                    batch["conv_id"].to_pylist(), salt.to_pylist()
+                )
+            ],
+            type=pa.int32(),
+        )
+        batch = batch.append_column("salt", salt)
+        batch = batch.append_column("_log_conf", log_conf)
+        return batch.append_column("_part", part)
+
+    return projected.map_batches(prep, batch_format="pyarrow")
+
+
+def _phase1(part: pd.DataFrame) -> pd.DataFrame:
+    part = part.sort_values(["conv_id", "salt", "turn_idx"], kind="mergesort")
+    g = part.groupby(["conv_id", "salt"], sort=False)
+    out = g.agg(
+        n_turns=("turn_idx", "size"),
+        n_words=("n_words", "sum"),
+        text_part=("extracted_text", "\n\n".join),
+        processed_part=("processed_text", "\n\n".join),
+        log_conf=("_log_conf", "sum"),
+    ).reset_index()
+    out["n_words"] = out["n_words"].astype("int64")
+    return out
+
+
+def _phase2(part: pd.DataFrame) -> pd.DataFrame:
+    part = part.sort_values(["conv_id", "salt"], kind="mergesort")
+    g = part.groupby("conv_id", sort=False)
+    out = g.agg(
+        n_turns=("n_turns", "sum"),
+        n_words=("n_words", "sum"),
+        conversation_text=("text_part", "\n\n".join),
+        processed_conversation_text=("processed_part", "\n\n".join),
+        log_conf=("log_conf", "sum"),
+    ).reset_index()
+    n_words = out["n_words"].to_numpy(dtype=np.float64)
+    out["confidence"] = np.where(
+        n_words > 0, np.exp(out["log_conf"].to_numpy() / np.maximum(n_words, 1)), 1.0
     )
-    return pd.DataFrame(
-        {
-            "conv_id": [group["conv_id"].iloc[0]],
-            "salt": [int(group["salt"].iloc[0])],
-            "n_turns": [len(group)],
-            "n_words": [n_words],
-            "text_part": ["\n\n".join(group["extracted_text"])],
-            "processed_part": ["\n\n".join(group["processed_text"])],
-            "log_conf": [log_conf],
-        }
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.drop(columns=["log_conf"])
+
+
+def assemble_conversations(
+    extracted: "ray.data.Dataset", chunk: int = DEFAULT_CHUNK
+) -> "ray.data.Dataset":
+    """Per-turn extraction output -> one row per conversation."""
+    import zlib
+
+    prepped = _with_salt_and_logconf(extracted, chunk)
+    partials = prepped.groupby("_part").map_groups(
+        lambda g: _phase1(g.drop(columns=["_part"])), batch_format="pandas"
     )
 
+    def repart(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_part"] = [
+            zlib.crc32(c.encode()) % NUM_PARTS for c in batch["conv_id"]
+        ]
+        return batch
 
-def _assemble_final(group: pd.DataFrame) -> pd.DataFrame:
-    group = group.sort_values("salt", kind="mergesort")
-    n_words = int(group["n_words"].sum())
-    log_conf = float(group["log_conf"].sum())
-    confidence = float(np.exp(log_conf / n_words)) if n_words else 1.0
-    return pd.DataFrame(
-        {
-            "conv_id": [group["conv_id"].iloc[0]],
-            "n_turns": [int(group["n_turns"].sum())],
-            "n_words": [n_words],
-            "conversation_text": ["\n\n".join(group["text_part"])],
-            "processed_conversation_text": ["\n\n".join(group["processed_part"])],
-            "confidence": [confidence],
-        }
+    partials2 = partials.map_batches(repart, batch_format="pandas")
+    return partials2.groupby("_part").map_groups(
+        lambda g: _phase2(g.drop(columns=["_part"])), batch_format="pandas"
     )
 
 
@@ -74,15 +136,11 @@ def assemble_conversations_sorted(
     shuffle), then a VECTORIZED per-batch pre-combine — each sorted
     batch covers contiguous (conv_id, turn_idx) ranges, so its per-conv
     segments are contiguous; segments carry their ``min turn_idx`` and
-    the final small ``groupby(conv_id)`` concatenates segments in
-    min-turn order. Equivalent output to ``assemble_conversations``
-    but phase 1 runs one pandas groupby per BATCH instead of one
-    Python call per conversation — the per-group overhead of
-    ``map_groups`` is the bottleneck when conversations are small."""
-    projected = extracted.select_columns(
-        ["conv_id", "turn_idx", "extracted_text", "processed_text",
-         "n_words", "confidence"]
-    )
+    the final small grouped phase concatenates segments in min-turn
+    order. Output identical to ``assemble_conversations``."""
+    import zlib
+
+    projected = extracted.select_columns(_PROJECT_COLS)
     ordered = projected.sort(["conv_id", "turn_idx"])
 
     def combine_batch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -99,36 +157,15 @@ def assemble_conversations_sorted(
             processed_part=("processed_text", "\n\n".join),
             log_conf=("_log_conf", "sum"),
         ).reset_index()
+        out["_part"] = [
+            zlib.crc32(c.encode()) % NUM_PARTS for c in out["conv_id"]
+        ]
+        out["n_words"] = out["n_words"].astype("int64")
         return out
 
     partials = ordered.map_batches(
         combine_batch, batch_format="pandas", batch_size=8192
     )
-    return partials.groupby("conv_id").map_groups(
-        _assemble_final, batch_format="pandas"
-    )
-
-
-def assemble_conversations(
-    extracted: "ray.data.Dataset", chunk: int = DEFAULT_CHUNK
-) -> "ray.data.Dataset":
-    """Per-turn extraction output -> one row per conversation."""
-    projected = extracted.select_columns(
-        ["conv_id", "turn_idx", "extracted_text", "processed_text",
-         "n_words", "confidence"]
-    )
-
-    def add_salt(batch):
-        import pyarrow.compute as pc
-        import pyarrow as pa
-
-        salt = pc.divide(batch["turn_idx"], chunk)
-        return batch.append_column("salt", pc.cast(salt, pa.int32()))
-
-    salted = projected.map_batches(add_salt, batch_format="pyarrow")
-    partials = salted.groupby(["conv_id", "salt"]).map_groups(
-        _assemble_partial, batch_format="pandas"
-    )
-    return partials.groupby("conv_id").map_groups(
-        _assemble_final, batch_format="pandas"
+    return partials.groupby("_part").map_groups(
+        lambda g: _phase2(g.drop(columns=["_part"])), batch_format="pandas"
     )

@@ -58,6 +58,7 @@ def _apply(
     columns["confidence"] = pa.array(
         np.array([r["confidence"] for r in results], dtype=np.float64)
     )
+    columns["lang"] = pa.array([r["lang"] for r in results], type=pa.string())
     for key in ("n_blocks", "n_lines", "n_words"):
         columns[key] = pa.array(np.array([r[key] for r in results], dtype=np.int32))
     columns["pipeline_version"] = pa.array(

@@ -1,0 +1,121 @@
+"""Tests for the parity kernels: beam guesser, containment join,
+grapheme split, language vote, sampling, extension hooks."""
+
+from __future__ import annotations
+
+import pytest
+
+from jochre3_ocr_ray.functions.extract import dominant_language, extract_turn
+from jochre3_ocr_ray.functions.geometry import Rectangle, place_in_containers
+from jochre3_ocr_ray.functions.guesser import (
+    Guess,
+    beam_search,
+    best_guess,
+    rescore,
+)
+from jochre3_ocr_ray.functions.rules import string_to_chars
+
+
+class TestBeamGuesser:
+    def test_geometric_mean_score(self):
+        g = Guess("ab", __import__("math").log(0.9) + __import__("math").log(0.4), 2)
+        assert g.score == pytest.approx((0.9 * 0.4) ** 0.5)
+
+    def test_beam_keeps_top_width(self):
+        candidates = [[("a", 0.9), ("b", 0.5)], [("c", 0.8), ("d", 0.7)]]
+        beam = beam_search(candidates, width=2)
+        assert [g.text for g in beam] == ["ac", "ad"]
+
+    def test_lexicon_rescoring_flips_winner(self, lexicon):
+        # raw scores favour the unknown guess; rescoring x0.5 flips it
+        candidates = [
+            [("t", 0.8), ("z", 0.9)],
+            [("h", 0.8), ("z", 0.9)],
+            [("e", 0.8), ("z", 0.9)],
+        ]
+        text, _ = best_guess(candidates, lexicon, width=8)
+        assert text == "the"
+
+    def test_impossible_heavily_penalized(self, lexicon):
+        g = Guess("abc123", 0.0, 6)
+        assert rescore(g, lexicon) == pytest.approx(0.01)
+
+    def test_tie_first_wins(self, lexicon):
+        candidates = [[("x", 0.5), ("y", 0.5)]]
+        beam = beam_search(candidates, width=2)
+        assert beam[0].text == "x"
+
+
+class TestContainmentJoin:
+    def test_children_assigned_to_best_container(self):
+        containers = [Rectangle(0, 0, 100, 50), Rectangle(0, 60, 100, 50)]
+        children = [
+            Rectangle(10, 5, 20, 10),    # inside container 0
+            Rectangle(10, 65, 20, 10),   # inside container 1
+            Rectangle(10, 45, 20, 20),   # straddles: 25% in c0, 25% in c1 -> dropped at 0.5
+            Rectangle(500, 500, 10, 10), # orphan
+        ]
+        assigned = place_in_containers(
+            children, containers, rect_of=lambda r: r, container_rect_of=lambda r: r
+        )
+        assert assigned[0] == [children[0]]
+        assert assigned[1] == [children[1]]
+        assert len(assigned) == 2
+
+    def test_low_threshold_assigns_straddler(self):
+        containers = [Rectangle(0, 0, 100, 50), Rectangle(0, 60, 100, 50)]
+        child = Rectangle(10, 40, 20, 20)  # 50% in c0, 0% in c1
+        assigned = place_in_containers(
+            [child], containers, rect_of=lambda r: r,
+            container_rect_of=lambda r: r, threshold=0.01,
+        )
+        assert assigned == {0: [child]}
+
+
+class TestGraphemeSplit:
+    def test_combining_marks_attached(self):
+        decomposed = "éa"  # e + combining acute + a
+        assert string_to_chars(decomposed) == ["é", "a"]
+
+    def test_plain(self):
+        assert string_to_chars("abc") == ["a", "b", "c"]
+        assert string_to_chars("") == []
+
+
+class TestDominantLanguage:
+    def test_lang_column(self, lexicon):
+        assert extract_turn("hello world", 0, lexicon)["lang"] == "latin"
+        assert extract_turn("שלום עולם", 0, lexicon)["lang"] == "rtl"
+        assert extract_turn("123 456", 0, lexicon)["lang"] == ""
+        # majority vote: two rtl words vs one latin
+        assert extract_turn("שלום עולם ok", 0, lexicon)["lang"] == "rtl"
+
+
+class TestExtensionHooks:
+    def test_custom_simplifier_and_segmenter(self, lexicon):
+        from jochre3_ocr_ray.functions.segmenter import SegmentedBlock
+
+        upper = lambda t: t.upper()
+        one_block = lambda t: [SegmentedBlock(lines=[t])]
+        r = extract_turn(
+            "ab cd", 0, lexicon, simplifier=upper, segmenter=one_block
+        )
+        assert r["extracted_text"] == "AB CD"
+
+
+class TestTrainValSplit:
+    def test_deterministic_disjoint_split(self, ray_session):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.sources.sampling import train_val_split
+
+        ds = rd.from_items([{"k": i, "v": i * 2} for i in range(200)])
+        train, val = train_val_split(ds, "k", every_nth=4)
+        t1 = sorted(r["k"] for r in train.take_all())
+        v1 = sorted(r["k"] for r in val.take_all())
+        assert len(t1) + len(v1) == 200
+        assert set(t1).isdisjoint(v1)
+        assert 20 < len(v1) < 80  # ~25%
+        # deterministic on re-run
+        train2, val2 = train_val_split(ds, "k", every_nth=4)
+        assert sorted(r["k"] for r in val2.take_all()) == v1
