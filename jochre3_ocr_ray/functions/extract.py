@@ -180,9 +180,15 @@ def dominant_language(lines: list["_Line"]) -> str:
     order: list[str] = []
     for line in lines:
         for w in line.words:
-            if is_rtl_line(w.text):
+            text = w.text
+            if text.isascii():
+                if any(c.isalpha() for c in text):
+                    vote = "latin"
+                else:
+                    continue
+            elif is_rtl_line(text):
                 vote = "rtl"
-            elif any("a" <= c.lower() <= "z" for c in w.text):
+            elif any(c.isalpha() and c.isascii() for c in text):
                 vote = "latin"
             else:
                 continue

@@ -42,6 +42,9 @@ class Lexicon:
 
     def __init__(self, words: set[str]):
         self.words = words
+        # per-instance memo (the reference's memoized lookup cache,
+        # YivoLexicon.scala:37,63-75); tokens repeat heavily in corpora
+        self._freq_memo: dict[str, int] = {}
 
     @classmethod
     def load(cls, path: str | Path | None = None) -> "Lexicon":
@@ -71,6 +74,15 @@ class Lexicon:
         (``YivoLexiconTest.scala:12-38`` hyphenated min-rule).
         Punctuation-only tokens are known.
         """
+        cached = self._freq_memo.get(word)
+        if cached is not None:
+            return cached
+        freq = self._frequency_uncached(word)
+        if len(self._freq_memo) < 262144:  # bound actor memory
+            self._freq_memo[word] = freq
+        return freq
+
+    def _frequency_uncached(self, word: str) -> int:
         core = _EXTERNAL_PUNCT.sub("", word)
         if not core or not _HAS_WORD_CHAR.search(core):
             return FREQ_KNOWN

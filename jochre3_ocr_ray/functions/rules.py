@@ -32,11 +32,14 @@ _LATIN_CHARS = re.compile(r"[A-Za-z]")
 _DIGIT_RUN = re.compile(r"\d+(?:[.,]\d+)*")
 
 
+_SIMPLE_TOKEN = re.compile(r"\w+", re.UNICODE)
+
+
 def split_punctuation(token: str) -> list[str]:
     """Split one whitespace-delimited token into word/punct pieces."""
     if not token:
         return []
-    if len(token) == 1 or _WORD_CHAR.fullmatch(token):
+    if len(token) == 1 or _SIMPLE_TOKEN.fullmatch(token):
         return [token]
     # runs of word chars vs non-word chars
     runs: list[tuple[bool, str]] = []
@@ -69,6 +72,8 @@ def split_punctuation(token: str) -> list[str]:
 
 def is_rtl_line(line: str) -> bool:
     """A line is RTL when RTL-script codepoints outnumber Latin ones."""
+    if line.isascii():  # fast path: no RTL codepoints possible
+        return False
     return len(_RTL_CHARS.findall(line)) > len(_LATIN_CHARS.findall(line))
 
 

@@ -130,10 +130,10 @@ def run_extraction(
         t_shard = time.perf_counter()
         tmp = log.begin_shard(shard_id)
         out = prepared[i]
-        out.write_parquet(str(tmp))
+        out.write_parquet(str(tmp), partition_cols=["bucket"])
         rows = sum(
             f.metadata.num_rows
-            for f in map(_parquet_file, sorted(tmp.glob("*.parquet")))
+            for f in map(_parquet_file, sorted(tmp.glob("**/*.parquet")))
         )
         log.commit_shard(
             shard_id,
@@ -175,32 +175,54 @@ def read_extraction(out_dir: str | Path) -> "ray.data.Dataset":
     files = [
         str(f)
         for s in log.completed_shards()
-        for f in sorted(log.shard_output_dir(s).glob("*.parquet"))
+        for f in sorted(log.shard_output_dir(s).glob("**/*.parquet"))
     ]
     if not files:
         raise FileNotFoundError(f"no completed shards under {out_dir}")
     return ray.data.read_parquet(files)
 
 
+def bucket_files(out_dir: str | Path) -> dict[int, list[str]]:
+    """Completed-shard output files grouped by conv-hash bucket."""
+    log = LineageLog(out_dir)
+    buckets: dict[int, list[str]] = {}
+    for s in log.completed_shards():
+        for f in sorted(log.shard_output_dir(s).glob("bucket=*/*.parquet")):
+            b = int(f.parent.name.split("=", 1)[1])
+            buckets.setdefault(b, []).append(str(f))
+    if not buckets:
+        raise FileNotFoundError(f"no bucketed shards under {out_dir}")
+    return buckets
+
+
 def run_assembly(
     extraction_dir: str | Path,
     out_dir: str | Path,
-    strategy: str = "sorted",
+    strategy: str = "bucketed",
 ) -> dict:
     """Second stage: per-conversation documents (the one shuffle).
 
-    ``sorted`` (default): range-shuffle sort + vectorized per-batch
-    combine; ``salted``: two-phase salted groupby (see stages/assemble
-    docstrings — identical output, different shuffle shape)."""
-    from ..stages.assemble import assemble_conversations_sorted
+    ``bucketed`` (default): the shuffle already happened when extraction
+    wrote conv-hash bucket partitions — one raw Ray task per bucket
+    assembles and writes (no Ray sort machinery; see
+    ``stages.assemble.assemble_buckets``). ``salted``: two-phase salted
+    Dataset groupby; ``sorted``: global range-sort + batch pre-combine.
+    All three produce identical conversations (tests pin equality)."""
+    from ..stages.assemble import (
+        assemble_buckets,
+        assemble_conversations_sorted,
+    )
 
     t0 = time.perf_counter()
+    Path(out_dir).mkdir(parents=True, exist_ok=True)
+    if strategy == "bucketed":
+        n = assemble_buckets(bucket_files(extraction_dir), str(out_dir))
+        return {"wall_sec": time.perf_counter() - t0, "conversations": n}
     extracted = read_extraction(extraction_dir)
     if strategy == "sorted":
         conversations = assemble_conversations_sorted(extracted)
     else:
         conversations = assemble_conversations(extracted)
-    Path(out_dir).mkdir(parents=True, exist_ok=True)
     conversations.write_parquet(str(out_dir))
     return {"wall_sec": time.perf_counter() - t0}
 

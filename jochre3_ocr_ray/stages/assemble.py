@@ -105,6 +105,72 @@ def _phase2(part: pd.DataFrame) -> pd.DataFrame:
     return out.drop(columns=["log_conf"])
 
 
+def assemble_bucket_table(table: "pd.DataFrame") -> pd.DataFrame:
+    """Assemble one conv-hash bucket's turns (all convs complete in the
+    bucket) into conversation documents. Pure pandas, one pass."""
+    df = table.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+    log_conf = df["n_words"].to_numpy(dtype=np.float64) * np.log(
+        np.clip(df["confidence"].to_numpy(dtype=np.float64), 1e-300, None)
+    )
+    df = df.assign(_log_conf=log_conf)
+    g = df.groupby("conv_id", sort=False)
+    out = g.agg(
+        n_turns=("turn_idx", "size"),
+        n_words=("n_words", "sum"),
+        conversation_text=("extracted_text", "\n\n".join),
+        processed_conversation_text=("processed_text", "\n\n".join),
+        log_conf=("_log_conf", "sum"),
+    ).reset_index()
+    n_words = out["n_words"].to_numpy(dtype=np.float64)
+    out["confidence"] = np.where(
+        n_words > 0,
+        np.exp(out["log_conf"].to_numpy() / np.maximum(n_words, 1.0)),
+        1.0,
+    )
+    out["n_turns"] = out["n_turns"].astype("int64")
+    out["n_words"] = out["n_words"].astype("int64")
+    return out.drop(columns=["log_conf"])
+
+
+def assemble_buckets(
+    buckets: dict[int, list[str]], out_dir: str, max_in_flight: int = 64
+) -> int:
+    """Bucket-parallel assembly over the extraction output's conv-hash
+    bucket layout (the shuffle already happened at WRITE time via
+    ``write_parquet(partition_cols=["bucket"])``) — one raw Ray task
+    per bucket reads only that bucket's files, assembles in pandas, and
+    writes one output file. No Ray sort/groupby machinery at all; this
+    is the (c)-tier raw-task fallback the Dataset API can't express as
+    cheaply. Partitioning assumption: bucket = crc32(conv_id) %
+    ASSEMBLY_BUCKETS — every conversation is complete within one
+    bucket. Returns total conversations written."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    def one_bucket(bucket_id: int, files: list[str], out_path: str) -> int:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        cols = ["conv_id", "turn_idx", "extracted_text", "processed_text",
+                "n_words", "confidence"]
+        table = pa.concat_tables(
+            [pq.read_table(f, columns=cols) for f in files]
+        )
+        out = assemble_bucket_table(table.to_pandas())
+        pq.write_table(
+            pa.Table.from_pandas(out, preserve_index=False),
+            f"{out_path}/conversations_{bucket_id:05d}.parquet",
+        )
+        return len(out)
+
+    refs = []
+    for bucket_id, files in sorted(buckets.items()):
+        refs.append(one_bucket.remote(bucket_id, files, out_dir))
+        if len(refs) >= max_in_flight:
+            ray.wait(refs, num_returns=1)
+    return sum(ray.get(refs))
+
+
 def assemble_conversations(
     extracted: "ray.data.Dataset", chunk: int = DEFAULT_CHUNK
 ) -> "ray.data.Dataset":

@@ -19,8 +19,14 @@ because this particular stage's state is a wordlist, not a model.
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 import pyarrow as pa
+
+# number of conv-hash output buckets; at 100 TB this scales with the
+# cluster (buckets ≈ a few × total cores) — here sized for 32 CPUs
+ASSEMBLY_BUCKETS = 32
 
 from ..functions.extract import extract_turn
 from ..functions.lexicon import Lexicon
@@ -63,6 +69,16 @@ def _apply(
         columns[key] = pa.array(np.array([r[key] for r in results], dtype=np.int32))
     columns["pipeline_version"] = pa.array(
         [PIPELINE_VERSION] * len(results), type=pa.string()
+    )
+    # conv-hash bucket: the conversation-assembly "shuffle" is folded
+    # into the extraction WRITE (write_parquet partition_cols=["bucket"])
+    # so assembly reads co-located buckets with no Ray sort at all
+    columns["bucket"] = pa.array(
+        np.array(
+            [zlib.crc32(c.encode()) % ASSEMBLY_BUCKETS
+             for c in batch.column("conv_id").to_pylist()],
+            dtype=np.int32,
+        )
     )
     return pa.table(columns)
 

@@ -105,6 +105,18 @@ class TestConversationAssembly:
         assert (merged["conversation_text_a"] == merged["conversation_text_b"]).all()
         assert (merged["n_words_a"] == merged["n_words_b"]).all()
 
+    def test_bucketed_assembly_complete(self, pipeline_run, ray_session):
+        """Default bucketed assembly covers every conversation exactly
+        once (bucket = crc32(conv_id) % B partitioning assumption)."""
+        import ray.data as rd
+
+        work, _ = pipeline_run
+        convs = rd.read_parquet(str(work / "conversations")).to_pandas()
+        turns = read_extraction(work / "turns").to_pandas()
+        assert sorted(convs["conv_id"]) == sorted(turns["conv_id"].unique())
+        assert convs["conv_id"].is_unique
+        assert convs["n_turns"].sum() == len(turns)
+
     def test_sorted_strategy_equals_salted(self, pipeline_run, ray_session):
         """The sort-based assembly produces identical conversations."""
         import ray.data as rd
