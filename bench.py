@@ -144,16 +144,25 @@ def run_scaling() -> dict:
         results = [run_once(ncpu) for _ in range(repeats)]
         return min(results, key=lambda r: r["value"])
 
-    lo, hi = 8, 32
+    # N and 4N parallelism levels. Default 2 -> 8: this sandbox VM shows
+    # heavy hypervisor steal time under sustained load beyond ~8-10
+    # cores (see BASELINE.md — measured with a pure-CPU burn: 8 workers
+    # scale linearly and stay stable; 32 workers run SLOWER than 8), so
+    # levels above the host's sustained capacity measure the neighbor's
+    # throttle, not this engine. Override with GRAFT_SCALING_LO/HI.
+    lo = int(os.environ.get("GRAFT_SCALING_LO", "2"))
+    hi = int(os.environ.get("GRAFT_SCALING_HI", "8"))
     r_lo, r_hi = run(lo), run(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "scaling efficiency (num_cpus 8 -> 32, same input)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "turns_per_sec_8": r_lo["turns_per_sec"],
-        "turns_per_sec_32": r_hi["turns_per_sec"],
+        "metric": f"scaling efficiency (num_cpus {lo} -> {hi}, same input)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"turns_per_sec_{lo}": r_lo["turns_per_sec"],
+        f"turns_per_sec_{hi}": r_hi["turns_per_sec"],
+        "num_cpus_lo": lo,
+        "num_cpus_hi": hi,
         "scaling_efficiency": round(eff, 3),
         "bench_turns": r_hi["bench_turns"],
     }

@@ -116,8 +116,15 @@ def run_extraction(
     # EXECUTION (write_parquet) runs concurrently.
     prepared: dict[int, "ray.data.Dataset"] = {}
     for i, shard_files in pending:
+        # cap the shard's block count: every output block is split into
+        # up to ASSEMBLY_BUCKETS bucket files at write time, so block
+        # count × buckets is the file count — unbounded read parallelism
+        # becomes a tiny-file storm (8 blocks × 32 buckets × shards is
+        # plenty of write parallelism on one node)
         prepared[i] = build_extraction(
-            ray.data.read_parquet(shard_files),
+            ray.data.read_parquet(
+                shard_files, override_num_blocks=max(8, len(shard_files))
+            ),
             include_blocks=include_blocks,
             batch_size=batch_size,
             concurrency=concurrency,
