@@ -55,8 +55,15 @@ def build_extraction(
     batch_size: int = 256,
     concurrency=(2, 8),
     use_actors: bool = False,
+    decode: bool = False,
+    emit_alto: bool = False,
 ) -> "ray.data.Dataset":
     """Attach the extraction stage to an input Dataset (lazy).
+
+    ``decode=True`` prepends the payload-unwrap pre-stage (base64 /
+    tool-JSON envelopes — the PDFToImageConverter analog);
+    ``emit_alto=True`` appends the ALTO-XML renderer column
+    (OutputFormat.Alto4 analog; requires ``include_blocks``).
 
     ``use_actors=False`` (default) runs the kernel as stateless tasks
     with a process-global lexicon: Ray reuses worker processes across
@@ -66,22 +73,38 @@ def build_extraction(
     form (``ExtractTurns``), the right shape when per-worker state is
     expensive (a real model) or alternatives/transliteration tables are
     enabled."""
+    if decode:
+        from ..stages.decode import decode_payloads
+
+        ds = ds.map_batches(decode_payloads, batch_format="pyarrow")
+
+    def maybe_alto(out: "ray.data.Dataset") -> "ray.data.Dataset":
+        if not emit_alto:
+            return out
+        from ..stages.decode import render_alto_column
+
+        return out.map_batches(render_alto_column, batch_format="pyarrow")
+
     if use_actors or include_alternatives:
-        return ds.map_batches(
-            ExtractTurns,
-            fn_constructor_kwargs={
-                "include_blocks": include_blocks,
-                "include_alternatives": include_alternatives,
-            },
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-            num_cpus=1,
+        return maybe_alto(
+            ds.map_batches(
+                ExtractTurns,
+                fn_constructor_kwargs={
+                    "include_blocks": include_blocks,
+                    "include_alternatives": include_alternatives,
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                num_cpus=1,
+            )
         )
     from ..stages.extract import extract_turns_batch, extract_turns_batch_no_blocks
 
     fn = extract_turns_batch if include_blocks else extract_turns_batch_no_blocks
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    return maybe_alto(
+        ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size)
+    )
 
 
 def run_extraction(
