@@ -41,6 +41,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_filter": relational.q_orders_filter,
         "top_parts": relational.q_top_parts,
         "event_sessions": relational.q_event_sessions,
+        "event_union": relational.q_event_union,
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -81,6 +82,7 @@ def oracle_sql() -> dict[str, str]:
         "orders_filter": relational.Q_ORDERS_FILTER_SQL,
         "top_parts": relational.Q_TOP_PARTS_SQL,
         "event_sessions": relational.Q_EVENT_SESSIONS_SQL,
+        "event_union": relational.Q_EVENT_UNION_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,

@@ -1,0 +1,105 @@
+"""CLI entry point — the JochreAppBase / JochreCLI analog.
+
+Usage (each subcommand owns its own Ray session; submit with
+``ray job submit -- python -m jochre3_ocr_ray <cmd> ...`` on a real
+cluster, or run directly single-node):
+
+    python -m jochre3_ocr_ray extract  INPUT_DIR WORK_DIR [--shards N]
+    python -m jochre3_ocr_ray assemble WORK_DIR            # after extract
+    python -m jochre3_ocr_ray pipeline INPUT_DIR WORK_DIR  # both stages
+    python -m jochre3_ocr_ray generate N_TURNS OUT_DIR     # synth corpus
+
+Reference: ``core/JochreCLI.scala:6-50`` (arg parsing) +
+``core/JochreAppBase.scala:17-121`` (dispatch).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_session():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def main(argv: list[str] | None = None) -> int:
+    parser = argparse.ArgumentParser(prog="jochre3_ocr_ray")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("extract")
+    p.add_argument("input_dir")
+    p.add_argument("work_dir")
+    p.add_argument("--shards", type=int, default=8)
+    p.add_argument("--no-resume", action="store_true")
+    p.add_argument("--no-blocks", action="store_true")
+
+    p = sub.add_parser("assemble")
+    p.add_argument("work_dir")
+    p.add_argument("--strategy", default="bucketed",
+                   choices=["bucketed", "salted", "sorted"])
+
+    p = sub.add_parser("pipeline")
+    p.add_argument("input_dir")
+    p.add_argument("work_dir")
+    p.add_argument("--shards", type=int, default=8)
+
+    p = sub.add_parser("generate")
+    p.add_argument("n_turns", type=int)
+    p.add_argument("out_dir")
+    p.add_argument("--seed", type=int, default=42)
+
+    args = parser.parse_args(argv)
+
+    if args.cmd == "generate":
+        from .sources.corpus import generate_transcripts
+
+        out = generate_transcripts(args.n_turns, args.out_dir, seed=args.seed)
+        print(json.dumps({"out_dir": str(out), "n_turns": args.n_turns}))
+        return 0
+
+    ray = _ray_session()
+    try:
+        from .pipelines.extract import run_assembly, run_extraction, run_pipeline
+
+        if args.cmd == "extract":
+            metrics = run_extraction(
+                args.input_dir,
+                f"{args.work_dir}/turns",
+                num_shards=args.shards,
+                resume=not args.no_resume,
+                include_blocks=not args.no_blocks,
+            )
+        elif args.cmd == "assemble":
+            metrics = run_assembly(
+                f"{args.work_dir}/turns",
+                f"{args.work_dir}/conversations",
+                strategy=args.strategy,
+            )
+        else:
+            metrics = run_pipeline(
+                args.input_dir, args.work_dir, num_shards=args.shards
+            )
+        print(json.dumps(metrics))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

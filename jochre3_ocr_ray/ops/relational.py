@@ -384,6 +384,33 @@ LIMIT 10
 """
 
 
+# ----------------------------------------------------------------- union
+def q_event_union(sf_dir: str) -> pa.Table:
+    """Union of two filtered event views (``Dataset.union`` — the
+    block-list concatenation analog, ``FullYoloSegmenter.scala:557-561``)."""
+    big_purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "purchase") & (pc.field("value") > 90.0),
+    )
+    errors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "event_type", "value"],
+        filter=(pc.field("event_type") == "error"),
+    )
+    combined = big_purchases.union(errors)
+    return _round(_to_table(combined), {"value": 4})
+
+
+Q_EVENT_UNION_SQL = """
+SELECT event_id, event_type, ROUND(value, 4) AS value
+FROM events WHERE event_type = 'purchase' AND value > 90.0
+UNION ALL
+SELECT event_id, event_type, ROUND(value, 4) AS value
+FROM events WHERE event_type = 'error'
+"""
+
+
 # ------------------------------------------------------------ sessionize
 def q_event_sessions(sf_dir: str) -> pa.Table:
     """Session windows per user (30-min inactivity gap).
