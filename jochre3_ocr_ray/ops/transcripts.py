@@ -20,7 +20,7 @@ fixture corpus instead (tests/test_pipeline.py).
 from __future__ import annotations
 
 import pyarrow as pa
-import pyarrow.compute as pc
+
 
 import ray.data
 
