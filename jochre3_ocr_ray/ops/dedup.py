@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+import zlib
 
 import numpy as np
 import pandas as pd
@@ -51,20 +52,44 @@ _BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _BANDS
 
 
-def _shingles(text: str, n: int = 2) -> set[int]:
-    """Word n-gram shingles, hashed to stable 64-bit ints."""
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _token_hashes(text: str) -> np.ndarray:
+    """Stable per-token 64-bit hashes (two crc32 halves — C-speed,
+    process-stable, unlike Python's seeded ``hash``)."""
     tokens = _WS.sub(" ", text.strip()).lower().split(" ")
     if not tokens or tokens == [""]:
+        return np.empty(0, dtype=np.uint64)
+    return np.fromiter(
+        (
+            (zlib.crc32(t.encode("utf-8")) << 32)
+            | zlib.crc32(t.encode("utf-8"), 0x9E3779B9)
+            for t in tokens
+        ),
+        dtype=np.uint64,
+        count=len(tokens),
+    )
+
+
+def _shingles(text: str, n: int = 2) -> set[int]:
+    """Word n-gram shingles as stable 61-bit ints (vectorized FNV-style
+    combine of per-token hashes — one numpy pass, no per-shingle
+    digest calls)."""
+    hs = _token_hashes(text)
+    if len(hs) == 0:
         return set()
-    if len(tokens) < n:
-        grams = [" ".join(tokens)]
+    if len(hs) < n:
+        acc = hs[:1].copy()
+        for k in range(1, len(hs)):
+            acc = (acc * _FNV_PRIME) ^ hs[k : k + 1]
     else:
-        grams = [" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)]
-    out = set()
-    for g in grams:
-        digest = hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
-        out.add(int.from_bytes(digest, "little") & ((1 << 61) - 1))
-    return out
+        m = len(hs) - n + 1
+        acc = hs[:m].copy()
+        for k in range(1, n):
+            acc = (acc * _FNV_PRIME) ^ hs[k : m + k]
+    acc &= np.uint64((1 << 61) - 1)
+    return set(acc.tolist())
 
 
 def _minhash(shingles: set[int]) -> np.ndarray:
@@ -118,14 +143,10 @@ GROUP BY text
 
 
 # ----------------------------------------------------------- minhash lsh
-def minhash_candidate_pairs(
-    ds: "ray.data.Dataset",
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    dedup_pairs: bool = True,
+def minhash_band_rows(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
-    """documents -> (id_a, id_b) LSH candidate pairs (deduped across
-    bands unless the caller fuses dedup into its own next stage)."""
+    """documents -> exploded (band, doc_id) LSH rows."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids, bands = [], []
@@ -140,9 +161,19 @@ def minhash_candidate_pairs(
             {"band": pa.array(bands), id_col: pa.array(ids, type=pa.int64())}
         )
 
-    banded = ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
+    return ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
+
+
+def minhash_candidate_pairs(
+    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+) -> "ray.data.Dataset":
+    """documents -> deduped (id_a, id_b) LSH candidate pairs."""
+    banded = minhash_band_rows(ds, text_col, id_col)
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized pre-filter: only bands with >=2 members can yield
+        # pairs — drops the vast majority of groups before iteration
+        part = part[part.duplicated("band", keep=False)]
         out = []
         for _, group in part.groupby("band", sort=False):
             ids = sorted(group[id_col].unique())
@@ -152,8 +183,6 @@ def minhash_candidate_pairs(
         return pd.DataFrame(out, columns=["id_a", "id_b"]).astype("int64")
 
     pairs = partitioned_apply(banded, ["band"], bucket_pairs)
-    if not dedup_pairs:
-        return pairs
     # dedup pairs found in multiple bands (hash-partitioned, vectorized)
     return partitioned_apply(
         pairs, ["id_a", "id_b"],
@@ -162,75 +191,69 @@ def minhash_candidate_pairs(
 
 
 def q_dedup_minhash(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """Near-dup pairs: LSH candidates verified with exact Jaccard.
-
-    Verification joins each candidate pair against a broadcast
-    id->shingle-set map (small at test scale; at 100 TB the verify
-    stage re-reads the two shards by id-range instead)."""
+    """Near-dup pairs: LSH candidates verified with exact Jaccard
+    (candidate generation + verification fused into the single band
+    shuffle; see inline comments)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
-    # shingle sets computed IN PARALLEL (map_batches) and merged into the
-    # broadcast verify map on the driver — at test scale the map fits in
-    # the object store; the 100 TB path re-reads pair shards by id-range
-    def shingle_rows(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
-        sets = [
-            np.fromiter(s, dtype=np.int64, count=len(s)) if (s := _shingles(t)) else
-            np.empty(0, dtype=np.int64)
-            for t in batch["text"].to_pylist()
-        ]
-        return pa.table(
-            {
-                "doc_id": pa.array(ids, type=pa.int64()),
-                "shingles": pa.array([a.tolist() for a in sets],
-                                     type=pa.list_(pa.int64())),
-            }
-        )
+    # broadcast the raw texts (small side); the verify stage computes
+    # shingles lazily ONLY for docs that appear in candidate pairs, with
+    # a per-partition memo — no all-docs shingle pass, no big driver map.
+    # The 100 TB path re-reads pair shards by id-range instead.
+    docs_df = _to_table(ds).to_pandas()
+    text_ref = ray.put(dict(zip(docs_df["doc_id"].astype(int), docs_df["text"])))
+    # ONE shuffle total: candidate generation AND exact-Jaccard verify
+    # fused into the band-partition stage. A pair surfacing in several
+    # bands is verified once per band (cheap — per-partition shingle
+    # memo); the final dedup runs driver-side on the VERIFIED pairs,
+    # which are tiny relative to the corpus even at scale.
+    banded = minhash_band_rows(ds)
 
-    sh = _to_table(ds.map_batches(shingle_rows, batch_format="pyarrow",
-                                  batch_size=2048))
-    shingle_map = {
-        int(i): set(s)
-        for i, s in zip(sh["doc_id"].to_pylist(), sh["shingles"].to_pylist())
-    }
-    map_ref = ray.put(shingle_map)
-    pairs = minhash_candidate_pairs(ds, dedup_pairs=False)
+    def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
+        texts = ray.get(text_ref)
+        memo: dict[int, set[int]] = {}
 
-    # single fused partition stage: pair-dedup (pairs found in several
-    # bands) + exact-Jaccard verification
-    def dedup_and_verify(part: pd.DataFrame) -> pd.DataFrame:
-        smap = ray.get(map_ref)
-        part = part.drop_duplicates(["id_a", "id_b"])
+        def sh(doc_id: int) -> set[int]:
+            s = memo.get(doc_id)
+            if s is None:
+                s = _shingles(texts[doc_id])
+                memo[doc_id] = s
+            return s
+
+        part = part[part.duplicated("band", keep=False)]
         out = []
-        for a, b in zip(part["id_a"], part["id_b"]):
-            sa, sb = smap[int(a)], smap[int(b)]
-            union = len(sa | sb)
-            j = len(sa & sb) / union if union else 0.0
-            if j >= threshold:
-                out.append((int(a), int(b), j))
+        for _, group in part.groupby("band", sort=False):
+            ids = sorted(group["doc_id"].unique())
+            for i, a in enumerate(ids):
+                for b in ids[i + 1 :]:
+                    sa, sb = sh(int(a)), sh(int(b))
+                    union = len(sa | sb)
+                    j = len(sa & sb) / union if union else 0.0
+                    if j >= threshold:
+                        out.append((int(a), int(b), j))
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
             {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
         )
 
-    verified = partitioned_apply(pairs, ["id_a", "id_b"], dedup_and_verify)
-    return _round(verified, {"jaccard": 4})
+    verified = _to_table(
+        partitioned_apply(banded, ["band"], verify_partition)
+    ).to_pandas()
+    verified = verified.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    return _round(
+        pa.Table.from_pandas(verified, preserve_index=False), {"jaccard": 4}
+    )
 
 
 # --------------------------------------------------------------- simhash
 def _simhash(text: str) -> int:
-    tokens = _WS.sub(" ", text.strip()).lower().split(" ")
-    if not tokens or tokens == [""]:
+    hs = _token_hashes(text)
+    if len(hs) == 0:
         return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in tokens:
-        h = np.uint64(
-            int.from_bytes(
-                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest(),
-                "little",
-            )
-        )
-        bits = ((h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(np.int64)
-        acc += np.where(bits == 1, 1, -1)
+    # all tokens x 64 bit positions in one vectorized pass
+    bits = (
+        (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.int64)
+    acc = (2 * bits - 1).sum(axis=0)
     sig = 0
     for i in range(64):
         if acc[i] > 0:
@@ -261,6 +284,7 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     banded = ds.map_batches(sign, batch_format="pyarrow", batch_size=4096)
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("segment", keep=False)]
         out = []
         for _, group in part.groupby("segment", sort=False):
             rows = group.drop_duplicates("doc_id").sort_values("doc_id")

@@ -183,26 +183,26 @@ def q_top_customers(sf_dir: str) -> pa.Table:
             [("o_totalprice", "sum"), ("o_totalprice", "count")]
         )
 
-    per_cust = (
-        orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("o_custkey")
-        .aggregate(
-            Sum("o_totalprice_sum", alias_name="total_spent"),
-            Sum("o_totalprice_count", alias_name="n_orders"),
-        )
+    partials = orders.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
     )
 
-    # distributed top-k: each block of the grouped result emits its own
-    # top 10, the driver reduces <=10*n_blocks finalists (never a global
-    # Ray sort), then the 10 winners pick up names from the dimension
-    # table with a driver-side merge
-    def local_topk(batch):
-        return batch.sort_values(
+    # final per-customer combine + LOCAL top-10, one hash partition at a
+    # time (partitioned_apply = one Python call per partition, pandas
+    # groupby inside); the driver then reduces <=10*num_parts finalists
+    # — never a global Ray sort. The 10 winners pick up names from the
+    # dimension table with a driver-side merge.
+    def combine_topk(part):
+        g = part.groupby("o_custkey", as_index=False).agg(
+            total_spent=("o_totalprice_sum", "sum"),
+            n_orders=("o_totalprice_count", "sum"),
+        )
+        return g.sort_values(
             ["total_spent", "o_custkey"], ascending=[False, True]
         ).head(10)
 
     finalists = _to_table(
-        per_cust.map_batches(local_topk, batch_format="pandas")
+        partitioned_apply(partials, ["o_custkey"], combine_topk)
     ).to_pandas()
     top = finalists.sort_values(
         ["total_spent", "o_custkey"], ascending=[False, True]
@@ -354,19 +354,18 @@ def q_top_parts(sf_dir: str) -> pa.Table:
     def partial(batch: pa.Table) -> pa.Table:
         return batch.group_by("l_partkey").aggregate([("l_quantity", "sum")])
 
-    per_part = (
-        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_partkey")
-        .aggregate(Sum("l_quantity_sum", alias_name="total_qty"))
-    )
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
 
-    def local_topk(batch):
-        return batch.sort_values(
+    def combine_topk(part):
+        g = part.groupby("l_partkey", as_index=False).agg(
+            total_qty=("l_quantity_sum", "sum")
+        )
+        return g.sort_values(
             ["total_qty", "l_partkey"], ascending=[False, True]
         ).head(10)
 
     finalists = _to_table(
-        per_part.map_batches(local_topk, batch_format="pandas")
+        partitioned_apply(partials, ["l_partkey"], combine_topk)
     ).to_pandas()
     top = finalists.sort_values(
         ["total_qty", "l_partkey"], ascending=[False, True]
