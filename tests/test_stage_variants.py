@@ -1,0 +1,63 @@
+"""Stage-variant equivalence: the actor-pool and stateless-task forms
+of the extraction stage must produce identical output, and the
+alternatives-enabled path must survive the Arrow/parquet round trip."""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def turns_ds(ray_session, small_corpus):
+    import ray.data as rd
+
+    from jochre3_ocr_ray.sources.reader import read_transcripts
+
+    return read_transcripts(small_corpus, limit=120)
+
+
+class TestActorVsTask:
+    def test_identical_output(self, turns_ds):
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+
+        tasks = (
+            build_extraction(turns_ds, use_actors=False)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        actors = (
+            build_extraction(turns_ds, use_actors=True, concurrency=2)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert len(tasks) == len(actors)
+        for col in ["extracted_text", "processed_text", "n_words", "lang"]:
+            assert (tasks[col] == actors[col]).all(), col
+
+
+class TestAlternativesPath:
+    def test_alternatives_roundtrip(self, turns_ds, tmp_path):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+
+        out = build_extraction(
+            turns_ds, include_alternatives=True, concurrency=2
+        )
+        out.write_parquet(str(tmp_path / "alts"))
+        back = rd.read_parquet(
+            [str(p) for p in sorted((tmp_path / "alts").glob("*.parquet"))]
+        ).to_pandas()
+        n_alts = 0
+        for _, row in back.iterrows():
+            for block in row["blocks"]:
+                for line in block["lines"]:
+                    for w in line["words"]:
+                        for alt in w["alternatives"]:
+                            assert alt["purpose"] in ("LOWER", "ROMAN")
+                            assert alt["content"]
+                            n_alts += 1
+        assert n_alts > 0  # corpus has capitalized/RTL words
