@@ -179,8 +179,13 @@ def run_extraction(
     # (driver threads — Ray datasets share the cluster with backpressure)
     # overlaps their fixed scheduling costs. Failure of one shard leaves
     # the others' committed manifests intact (resume granularity).
-    if len(pending) > 1:
-        with ThreadPoolExecutor(max_workers=min(4, len(pending))) as pool:
+    try:
+        cluster_cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:  # noqa: BLE001 — not initialised yet in some tests
+        cluster_cpus = 4
+    max_workers = min(4, len(pending), max(1, cluster_cpus // 2))
+    if max_workers > 1:
+        with ThreadPoolExecutor(max_workers=max_workers) as pool:
             rows_done = list(pool.map(run_shard, pending))
     else:
         rows_done = [run_shard(item) for item in pending]
