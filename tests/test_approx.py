@@ -1,0 +1,78 @@
+"""Quality tests for the approximate (scale-path) operators: IVF ANN
+recall vs the exact baseline, and embedding-LSH near-dup recovery of
+planted duplicates."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_embeddings(tmp_path, mat: np.ndarray):
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(mat)), type=pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32).tolist() for row in mat],
+                type=pa.list_(pa.float32()),
+            ),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir(exist_ok=True)
+    pq.write_table(table, sf / "embeddings.parquet")
+    return str(sf)
+
+
+class TestIvfRecall:
+    def test_recall_on_clustered_data(self, ray_session, tmp_path):
+        """Clustered vectors (IVF's favourable case): probing 4/16
+        centroid buckets must recover most of the exact top-10."""
+        from jochre3_ocr_ray.ops.similarity import q_ann_cosine_topk, q_ann_ivf_topk
+
+        rng = np.random.RandomState(11)
+        centers = rng.standard_normal((8, 64)) * 5
+        mat = np.vstack([
+            centers[i % 8] + rng.standard_normal(64) * 0.5 for i in range(400)
+        ])
+        sf = _write_embeddings(tmp_path, mat)
+        exact = q_ann_cosine_topk(sf).to_pandas()
+        approx = q_ann_ivf_topk(sf).to_pandas()
+        recalls = []
+        for qid in range(5):
+            e = set(exact[exact.query_id == qid]["vec_id"])
+            a = set(approx[approx.query_id == qid]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        assert np.mean(recalls) >= 0.6, recalls
+
+
+class TestEmbeddingLshNearDup:
+    def test_planted_duplicates_recovered(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import (
+            q_embedding_near_dup,
+            q_embedding_near_dup_lsh,
+        )
+
+        rng = np.random.RandomState(13)
+        mat = rng.standard_normal((300, 64))
+        # plant near-duplicates: 300..304 are slightly perturbed copies
+        planted = []
+        for k in range(5):
+            dup = mat[k] + rng.standard_normal(64) * 0.01
+            planted.append((k, 300 + k))
+            mat = np.vstack([mat, dup])
+        sf = _write_embeddings(tmp_path, mat)
+
+        exact = q_embedding_near_dup(sf, threshold=0.95).to_pandas()
+        exact_pairs = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+        assert set(planted) <= exact_pairs
+
+        lsh = q_embedding_near_dup_lsh(sf, threshold=0.95).to_pandas()
+        lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh.id_a, lsh.id_b)}
+        # LSH is approximate: near-identical vectors share all hyperplane
+        # signs, so planted pairs must all surface
+        assert set(planted) <= lsh_pairs
+        # and LSH finds no pair the exact pass rejects
+        assert lsh_pairs <= exact_pairs
