@@ -64,6 +64,13 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("evaluate")
+    p.add_argument("predicted_dir")
+    p.add_argument("expected_dir")
+    p.add_argument("--out", default=None)
+    p.add_argument("--predicted-col", default="processed_text")
+    p.add_argument("--expected-col", default="expected_text")
+
     args = parser.parse_args(argv)
 
     if args.cmd == "generate":
@@ -85,6 +92,23 @@ def main(argv: list[str] | None = None) -> int:
                 resume=not args.no_resume,
                 include_blocks=not args.no_blocks,
             )
+        elif args.cmd == "evaluate":
+            from .ops.evaluation import run_evaluation
+
+            table = run_evaluation(
+                args.predicted_dir,
+                args.expected_dir,
+                out_path=args.out,
+                predicted_col=args.predicted_col,
+                expected_col=args.expected_col,
+            )
+            mean = table.to_pandas()
+            mean = mean[mean["key"] == "__mean__"].iloc[0]
+            metrics = {
+                "rows": len(table) - 1,
+                "mean_cer": float(mean["cer"]),
+                "mean_bow_cosine": float(mean["bow_cosine"]),
+            }
         elif args.cmd == "assemble":
             metrics = run_assembly(
                 f"{args.work_dir}/turns",

@@ -80,8 +80,24 @@ def _tokenize_line(line_text: str) -> list[_Word]:
     return words
 
 
-def _resolve_hyphenation(lines: list[_Line], lex: Lexicon) -> None:
+def default_dehyphenation(w1: str, w2: str, lex: Lexicon) -> str:
+    """Decide the merged form of a cross-line hyphen pair — the
+    pluggable ``Dehyphenator`` strategy (reference
+    ``core/text/Dehyphenator.scala:3-5``; lexicon-driven keep/drop
+    ``YiddishDehyphenator.scala:60-118``). Returns ``subs_content``."""
+    joined = w1 + w2
+    if lex.get_frequency(joined) >= FREQ_KNOWN:
+        return joined  # merged form is a real word: drop hyphen
+    if lex.get_frequency(w1) >= FREQ_KNOWN and lex.get_frequency(w2) >= FREQ_KNOWN:
+        return w1 + "-" + w2  # compound of two known words: keep hyphen
+    return joined  # default: drop the line-break hyphen
+
+
+def _resolve_hyphenation(
+    lines: list[_Line], lex: Lexicon, dehyphenator=None
+) -> None:
     """Cross-line hyphen pairs: decide merged form, set subs fields."""
+    decide = dehyphenator or default_dehyphenation
     for i in range(len(lines) - 1):
         cur, nxt = lines[i], lines[i + 1]
         if not cur.words or not nxt.words:
@@ -91,17 +107,7 @@ def _resolve_hyphenation(lines: list[_Line], lex: Lexicon) -> None:
             continue
         if not _LEADING_WORD_CHAR.search(first.text):
             continue
-        w1, w2 = last.text[:-1], first.text
-        joined = w1 + w2
-        if lex.get_frequency(joined) >= FREQ_KNOWN:
-            subs = joined  # merged form is a real word: drop hyphen
-        elif (
-            lex.get_frequency(w1) >= FREQ_KNOWN
-            and lex.get_frequency(w2) >= FREQ_KNOWN
-        ):
-            subs = w1 + "-" + w2  # compound of two known words: keep hyphen
-        else:
-            subs = joined  # default: drop the line-break hyphen
+        subs = decide(last.text[:-1], first.text, lex)
         last.subs_type, last.subs_content = HYP_PART1, subs
         first.subs_type, first.subs_content = HYP_PART2, subs
 
@@ -213,6 +219,7 @@ def extract_turn(
     *,
     simplifier=None,
     segmenter=None,
+    dehyphenator=None,
 ) -> dict:
     """Run the full extraction chain on one turn payload.
 
@@ -245,7 +252,7 @@ def extract_turn(
         lines = [l for l in lines if l.words]
         if not lines:
             continue
-        _resolve_hyphenation(lines, lex)
+        _resolve_hyphenation(lines, lex, dehyphenator)
         _score_words(lines, lex)
         all_lines.extend(lines)
         if raw_parts:

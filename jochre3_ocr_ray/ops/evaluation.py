@@ -103,6 +103,56 @@ def evaluate_pairs(
     )
 
 
+def run_evaluation(
+    predicted_dir: str,
+    expected_dir: str,
+    out_path: str | None = None,
+    predicted_col: str = "processed_text",
+    expected_col: str = "expected_text",
+) -> pa.Table:
+    """Evaluate a pipeline output directory against a gold directory —
+    the ``--eval-dir`` run (``JochreAppBase.scala:47-80`` ->
+    ``Evaluator.evaluate``). Joined on (conv_id, turn_idx): the gold
+    side is broadcast (eval corpora are small relative to production
+    output; at scale, shard the gold set by the same conv-hash
+    buckets). Writes the metric table (+ ``__mean__`` row) as parquet
+    when ``out_path`` is given — the eval.tsv sink analog."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data
+
+    gold_files = sorted(_glob.glob(f"{expected_dir}/**/*.parquet", recursive=True))
+    gold = pq.read_table(
+        gold_files, columns=["conv_id", "turn_idx", expected_col]
+    ).to_pandas()
+    gold_ref = ray.put(
+        gold.set_index(["conv_id", "turn_idx"])[expected_col]
+    )
+
+    pred_files = sorted(_glob.glob(f"{predicted_dir}/**/*.parquet", recursive=True))
+    predicted = ray.data.read_parquet(
+        pred_files, columns=["conv_id", "turn_idx", predicted_col]
+    )
+
+    def attach(batch: pd.DataFrame) -> pd.DataFrame:
+        gold_series = ray.get(gold_ref)
+        keys = list(zip(batch["conv_id"], batch["turn_idx"]))
+        batch = batch.rename(columns={predicted_col: "predicted"})
+        batch["expected"] = [gold_series.get(k, "") for k in keys]
+        return batch
+
+    pairs = predicted.map_batches(attach, batch_format="pandas")
+    result = evaluate_pairs(pairs)
+    if out_path:
+        import pyarrow.parquet as _pq
+
+        _pq.write_table(result, out_path)
+    return result
+
+
 def q_eval_extraction(sf_dir: str) -> pa.Table:
     """Self-evaluation over the derived transcripts: predicted =
     processed_text, expected = extracted_text. Oracle via DuckDB's
