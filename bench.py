@@ -39,8 +39,6 @@ QUERY_NAMES = [
 
 def run_bench() -> dict:
     import ray
-    from ray.data import DataContext
-
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -48,8 +46,9 @@ def run_bench() -> dict:
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from jochre3_ocr_ray.config import configure_context
+
+    configure_context()
 
     from jochre3_ocr_ray.sources.corpus import cached_corpus
     from jochre3_ocr_ray.pipelines.extract import run_pipeline

@@ -32,9 +32,9 @@ def _ray_session():
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
-    from ray.data import DataContext
+    from .config import configure_context
 
-    DataContext.get_current().enable_progress_bars = False
+    configure_context()
     return ray
 
 

@@ -24,9 +24,13 @@ import zlib
 import numpy as np
 import pyarrow as pa
 
-# number of conv-hash output buckets; at 100 TB this scales with the
-# cluster (buckets ≈ a few × total cores) — here sized for 32 CPUs
-ASSEMBLY_BUCKETS = 32
+# Number of conv-hash output buckets. Sizing rule at scale: buckets ≈
+# corpus_size / target_partition_size (a few GB per bucket) and at
+# least a few × total cores — at 100 TB that is tens of thousands;
+# here sized for a 32-CPU node. A single conversation larger than a
+# bucket's memory budget needs the salted Dataset assembly instead
+# (stages/assemble.py::assemble_conversations).
+ASSEMBLY_BUCKETS = int(__import__("os").environ.get("GRAFT_ASSEMBLY_BUCKETS", "32"))
 
 from ..functions.extract import extract_turn
 from ..functions.lexicon import Lexicon

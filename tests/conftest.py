@@ -8,8 +8,6 @@ import pytest
 @pytest.fixture(scope="session")
 def ray_session():
     import ray
-    from ray.data import DataContext
-
     ray.init(
         address="local",
         num_cpus=4,
@@ -17,8 +15,9 @@ def ray_session():
         ignore_reinit_error=True,
         logging_level="ERROR",
     )
-    ctx = DataContext.get_current()
-    ctx.enable_progress_bars = False
+    from jochre3_ocr_ray.config import configure_context
+
+    configure_context()
     yield ray
     ray.shutdown()
 
