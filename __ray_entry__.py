@@ -42,12 +42,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_parts": relational.q_top_parts,
         "event_sessions": relational.q_event_sessions,
         "event_union": relational.q_event_union,
+        "order_lineitem_join": relational.q_order_lineitem_join,
+        "events_sliding": relational.q_events_sliding,
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
         "dedup_simhash": dedup.q_dedup_simhash,
         "embedding_near_dup": dedup.q_embedding_near_dup,
         "embedding_near_dup_lsh": dedup.q_embedding_near_dup_lsh,
+        "dedup_clusters": dedup.q_dedup_clusters,
         # similarity search
         "ann_cosine_topk": similarity.q_ann_cosine_topk,
         "ann_ivf_topk": similarity.q_ann_ivf_topk,
@@ -83,6 +86,8 @@ def oracle_sql() -> dict[str, str]:
         "top_parts": relational.Q_TOP_PARTS_SQL,
         "event_sessions": relational.Q_EVENT_SESSIONS_SQL,
         "event_union": relational.Q_EVENT_UNION_SQL,
+        "order_lineitem_join": relational.Q_ORDER_LINEITEM_JOIN_SQL,
+        "events_sliding": relational.Q_EVENTS_SLIDING_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,

@@ -404,3 +404,50 @@ def ngram_jaccard(text_a: str, text_b: str, n: int = 2) -> float:
     sa, sb = _shingles(text_a, n), _shingles(text_b, n)
     union = len(sa | sb)
     return len(sa & sb) / union if union else 0.0
+
+
+# ---------------------------------------------------- near-dup clustering
+def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find over near-dup pairs -> {doc_id: cluster_id} where the
+    cluster id is the minimum member (the canonical keeper). The pair
+    set is tiny relative to the corpus, so this runs on the driver; at
+    extreme pair counts switch to iterative min-label propagation
+    (groupby rounds), which these semantics are compatible with."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min id so the root IS the canonical keeper
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+def q_dedup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
+    """Near-dup clusters: MinHash pairs -> connected components ->
+    (doc_id, cluster_id, keep). ``keep`` marks the canonical (min id)
+    member — the "keep first per group" dedup decision. Rows-only
+    check (LSH is approximate)."""
+    pairs_table = q_dedup_minhash(sf_dir, threshold=threshold)
+    pairs = list(
+        zip(
+            pairs_table["id_a"].to_pylist(),
+            pairs_table["id_b"].to_pylist(),
+        )
+    )
+    labels = connected_components(pairs)
+    doc_ids = sorted(labels)
+    return pa.table(
+        {
+            "doc_id": pa.array(doc_ids, type=pa.int64()),
+            "cluster_id": pa.array([labels[d] for d in doc_ids], type=pa.int64()),
+            "keep": pa.array([labels[d] == d for d in doc_ids], type=pa.bool_()),
+        }
+    )

@@ -451,3 +451,114 @@ SELECT user_id, COUNT(*) AS n_events,
        CAST(SUM(new_session) AS BIGINT) AS n_sessions
 FROM gaps GROUP BY user_id
 """
+
+
+# ------------------------------------------------------- native hash join
+def q_order_lineitem_join(sf_dir: str) -> pa.Table:
+    """Large-side ⋈ large-side via Ray's native hash-partitioned
+    ``Dataset.join`` (both sides shuffle on the key — the pattern for
+    when NEITHER side is broadcastable), then a combiner rollup:
+    revenue by order priority."""
+    lineitem = _read(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    joined = lineitem.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        revenue = pc.multiply(
+            batch["l_extendedprice"],
+            pc.subtract(pa.scalar(1.0), batch["l_discount"]),
+        )
+        t = pa.table(
+            {"o_orderpriority": batch["o_orderpriority"], "revenue": revenue}
+        )
+        return t.group_by("o_orderpriority").aggregate(
+            [("revenue", "sum"), ("revenue", "count")]
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    ptab = _to_table(partials)
+    result = ptab.group_by("o_orderpriority").aggregate(
+        [("revenue_sum", "sum"), ("revenue_count", "sum")]
+    )
+    result = result.rename_columns(["o_orderpriority", "revenue", "n_items"])
+    return _round(result, {"revenue": 4})
+
+
+Q_ORDER_LINEITEM_JOIN_SQL = """
+SELECT o_orderpriority,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+# ------------------------------------------------------- sliding window
+def q_events_sliding(sf_dir: str) -> pa.Table:
+    """3-day sliding-window mean of event value per type — the windowed
+    -aggregate custom operator (no native Ray window op): daily combiner
+    rollup first, then a pandas rolling window per type inside a
+    partitioned apply. Oracle via a RANGE INTERVAL window frame."""
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        t = pa.table(
+            {"event_type": batch["event_type"], "day": day, "value": batch["value"]}
+        )
+        return t.group_by(["event_type", "day"]).aggregate(
+            [("value", "sum"), ("value", "count")]
+        )
+
+    partials = events.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    daily = _to_table(partials).group_by(["event_type", "day"]).aggregate(
+        [("value_sum", "sum"), ("value_count", "sum")]
+    )
+    df = daily.rename_columns(
+        ["event_type", "day", "value_sum", "n"]
+    ).to_pandas()
+
+    # rolling 3-day window (current + 2 preceding days), per type
+    out_rows = []
+    for etype, g in df.groupby("event_type", sort=False):
+        g = g.sort_values("day").reset_index(drop=True)
+        days = pd.to_datetime(g["day"])
+        for i in range(len(g)):
+            lo = days[i] - pd.Timedelta(days=2)
+            mask = (days >= lo) & (days <= days[i])
+            vs = g.loc[mask, "value_sum"].sum()
+            n = g.loc[mask, "n"].sum()
+            out_rows.append((etype, g["day"][i], vs / n, int(n)))
+    out = pd.DataFrame(
+        out_rows, columns=["event_type", "day", "sliding_avg", "n_events"]
+    )
+    return _round(
+        pa.Table.from_pandas(out, preserve_index=False), {"sliding_avg": 4}
+    )
+
+
+Q_EVENTS_SLIDING_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+         CAST(date_trunc('day', ts) AS DATE) AS day_d,
+         SUM(value) AS value_sum, COUNT(*) AS n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       ROUND(SUM(value_sum) OVER w / SUM(n) OVER w, 4) AS sliding_avg,
+       CAST(SUM(n) OVER w AS BIGINT) AS n_events
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY day_d
+             RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
+"""

@@ -211,3 +211,41 @@ class TestEvaluatePairs:
         mean = out[out.key == "__mean__"].iloc[0]
         per = out[out.key != "__mean__"]
         assert mean["cer"] == pytest.approx(per["cer"].mean(), abs=1e-6)
+
+
+class TestDedupClusters:
+    def test_chain_transitivity(self):
+        from jochre3_ocr_ray.ops.dedup import connected_components
+
+        labels = connected_components([(1, 2), (2, 3), (10, 11)])
+        assert labels[1] == labels[2] == labels[3] == 1
+        assert labels[10] == labels[11] == 10
+
+    def test_cluster_query_keeps_canonical(self, ray_session, tmp_path):
+        """Planted near-dup chain must collapse to one cluster whose
+        canonical member is the minimum doc_id."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.dedup import q_dedup_clusters
+
+        rng = np.random.RandomState(4)
+        vocab = [f"w{i}" for i in range(400)]
+        texts = [" ".join(rng.choice(vocab, 30)) for _ in range(30)]
+        # chain: 30 ~ 0 (1 word changed), 31 ~ 30 (another word changed)
+        w = texts[0].split(); w[3] = "X"; texts.append(" ".join(w))
+        w2 = list(w); w2[7] = "Y"; texts.append(" ".join(w2))
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"; sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        out = q_dedup_clusters(str(sf), threshold=0.5).to_pandas()
+        chain = out[out.doc_id.isin([0, 30, 31])]
+        assert len(chain) == 3
+        assert (chain["cluster_id"] == 0).all()
+        assert chain.set_index("doc_id")["keep"].to_dict() == {
+            0: True, 30: False, 31: False,
+        }
