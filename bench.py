@@ -30,6 +30,8 @@ QUERY_NAMES = [
     "events_daily",
     "dedup_exact",
     "dedup_minhash",
+    "order_lineitem_join",
+    "events_sliding",
     "ann_cosine_topk",
     "token_count",
     "quality_score",
