@@ -29,6 +29,8 @@ import pyarrow.parquet as pq
 from ..functions.lexicon import Lexicon
 from ..schema import TRANSCRIPT_SCHEMA
 
+CORPUS_VERSION = 2  # bump when payload families change (cache key)
+
 _ROLES = ["user", "assistant", "tool", "system"]
 _TOOLS = ["search", "browser", "python", "calculator"]
 _UNKNOWN_WORDS = ["flurbix", "zanthor", "quibblet", "morpholk", "traxide"]
@@ -85,7 +87,7 @@ def _payload(rng: random.Random, vocab: list[str]) -> str:
         )
     if family < 0.88:  # empties / edge cases
         return rng.choice(["", "   ", "\n\n", "x", "<div></div>", "word"])
-    if family < 0.91:  # positioned blocks (geometry path, shuffled order)
+    if family < 0.90:  # positioned blocks (geometry path, shuffled order)
         texts = [_sentence(rng, vocab, 3) for _ in range(3)]
         tops = [0, 40, 80]
         rng.shuffle(tops)
@@ -93,6 +95,22 @@ def _payload(rng: random.Random, vocab: list[str]) -> str:
             f'<div style="top:{t}px;left:0px;width:200px;height:20px">{txt}</div>'
             for t, txt in zip(tops, texts)
         ]
+        return "".join(parts)
+    if family < 0.92:  # two-column layout: reading order != document order
+        # (the BlockSorter vertical-overlap case: columns side by side)
+        left = [_sentence(rng, vocab, 3) for _ in range(2)]
+        right = [_sentence(rng, vocab, 3) for _ in range(2)]
+        parts = []
+        # emit right column first on "disk"; reading order must put the
+        # left column first (LTR)
+        for i, txt in enumerate(right):
+            parts.append(
+                f'<div style="top:{i*120}px;left:300px;width:200px;height:100px">{txt}</div>'
+            )
+        for i, txt in enumerate(left):
+            parts.append(
+                f'<div style="top:{i*120}px;left:0px;width:200px;height:100px">{txt}</div>'
+            )
         return "".join(parts)
     # mixed known/unknown words (confidence classes)
     mixed = [rng.choice(vocab), rng.choice(_UNKNOWN_WORDS), "abc123", rng.choice(vocab)]
@@ -169,8 +187,8 @@ def generate_transcripts(
 
 
 def cached_corpus(n_turns: int, seed: int = 42, root: str = "/tmp/jochre3_corpus") -> Path:
-    """Generate-once cache keyed by (n_turns, seed)."""
-    out = Path(root) / f"n{n_turns}_s{seed}"
+    """Generate-once cache keyed by (n_turns, seed, corpus version)."""
+    out = Path(root) / f"n{n_turns}_s{seed}_v{CORPUS_VERSION}"
     marker = out / "_COMPLETE"
     if not marker.exists():
         generate_transcripts(n_turns, out, seed=seed)
