@@ -463,10 +463,13 @@ def q_order_lineitem_join(sf_dir: str) -> pa.Table:
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
+    # num_partitions sized to data volume (one aggregator actor per
+    # partition — more partitions than busy cores just multiplies actor
+    # startup on a single node; at cluster scale this rises with nodes)
     joined = lineitem.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=8,
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )
