@@ -1,0 +1,78 @@
+"""Property-based tests (hypothesis): the extraction invariants must
+hold for ARBITRARY payloads, not just fixture families.
+
+Invariants:
+1. never crashes; output schema keys stable
+2. every word span indexes ``extracted_text`` exactly
+3. ``simplify`` is idempotent
+4. extraction is deterministic
+5. re-extracting the extracted text is a fixed point for plain text
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from jochre3_ocr_ray.functions.extract import extract_turn
+from jochre3_ocr_ray.functions.lexicon import Lexicon
+from jochre3_ocr_ray.functions.normalize import simplify
+
+_LEX = Lexicon.load()
+
+# arbitrary-ish text: printable unicode incl. markup chars, newlines
+payloads = st.text(
+    alphabet=st.characters(
+        codec="utf-8", exclude_categories=("Cs",)  # no lone surrogates
+    ),
+    max_size=400,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_never_crashes_and_spans_index_text(text):
+    r = extract_turn(text, 0, _LEX)
+    assert set(r) >= {
+        "extracted_text", "processed_text", "blocks", "confidence",
+        "lang", "n_blocks", "n_lines", "n_words",
+    }
+    out = r["extracted_text"]
+    for block in r["blocks"]:
+        b = block["span"]
+        assert 0 <= b["start"] <= b["end"] <= len(out)
+        for line in block["lines"]:
+            for w in line["words"]:
+                s = w["span"]
+                assert out[s["start"] : s["end"]] == w["text"]
+    assert 0.0 < r["confidence"] <= 1.0 or r["n_words"] == 0
+
+
+@settings(max_examples=300, deadline=None)
+@given(payloads)
+def test_simplify_idempotent(text):
+    once = simplify(text)
+    assert simplify(once) == once
+
+
+@settings(max_examples=100, deadline=None)
+@given(payloads)
+def test_deterministic(text):
+    assert extract_turn(text, 3, _LEX) == extract_turn(text, 3, _LEX)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet=st.sampled_from("abcdefg "), min_size=1, max_size=30),
+        min_size=1,
+        max_size=5,
+    )
+)
+def test_plain_text_fixed_point(lines):
+    """For plain (non-markup, non-hyphen) payloads, extracting the
+    extracted text again yields the same extracted text."""
+    text = "\n".join(lines)
+    first = extract_turn(text, 0, _LEX)["extracted_text"]
+    second = extract_turn(first, 0, _LEX)["extracted_text"]
+    assert second == first
