@@ -152,7 +152,9 @@ def q1_pricing_summary(sf_dir: str) -> pa.Table:
     result = result.append_column("avg_qty", avg_qty)
     return _round(
         result,
-        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 4, "avg_qty": 2},
+        # 2 decimals: at large scale the summation-order drift of a
+        # ~1e9-magnitude double sum exceeds a 4-decimal rounding margin
+        {"sum_qty": 2, "sum_base_price": 2, "sum_disc_price": 2, "avg_qty": 2},
     )
 
 
@@ -160,7 +162,7 @@ Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        ROUND(SUM(l_quantity), 2)                          AS sum_qty,
        ROUND(SUM(l_extendedprice), 2)                     AS sum_base_price,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)  AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)  AS sum_disc_price,
        COUNT(*)                                           AS count_order,
        ROUND(SUM(l_quantity) / COUNT(*), 2)               AS avg_qty
 FROM lineitem
@@ -492,12 +494,12 @@ def q_order_lineitem_join(sf_dir: str) -> pa.Table:
         [("revenue_sum", "sum"), ("revenue_count", "sum")]
     )
     result = result.rename_columns(["o_orderpriority", "revenue", "n_items"])
-    return _round(result, {"revenue": 4})
+    return _round(result, {"revenue": 2})
 
 
 Q_ORDER_LINEITEM_JOIN_SQL = """
 SELECT o_orderpriority,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
