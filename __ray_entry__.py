@@ -23,6 +23,12 @@ def entry() -> Any:
     return build_extraction(turns, include_blocks=True)
 
 
+def _curate():
+    from jochre3_ocr_ray.pipelines import curate
+
+    return curate
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2)."""
     from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
@@ -63,6 +69,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_features": multimodal.q_media_features,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
+        # training-data curation pipeline (ops composed)
+        "curate_documents": _curate().q_curate_documents,
+        "curate_documents_near_dup": _curate().q_curate_documents_near_dup,
     }
 
 
@@ -95,4 +104,5 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.Q_QUALITY_SCORE_SQL,
         "fingerprint": textstats.Q_FINGERPRINT_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
+        "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
     }

@@ -1,0 +1,119 @@
+"""Training-data curation pipeline — the ops composed end-to-end.
+
+The document-side flagship (the brief's large-scale training-data
+pipeline): quality scoring -> threshold filters -> exact dedup
+(keep-one per content hash) -> optional near-dup cluster pruning.
+Every stage is a vectorized ``map_batches`` or a hash-partitioned
+group stage; nothing materializes the corpus.
+
+``curate_documents`` (exact-dedup only) is fully SQL-expressible and
+oracle-checked; ``curate_documents_near_dup`` adds MinHash-cluster
+pruning (approximate — rows-only check).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..ops.relational import _read, _round, _to_table, partitioned_apply
+
+MIN_TOKENS = 10
+MIN_ALPHA = 0.5
+
+
+def _stats_and_hash(batch: pa.Table) -> pa.Table:
+    """Vectorized quality stats + content hash per document."""
+    text = batch["text"]
+    trimmed = pc.utf8_trim_whitespace(text)
+    ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+    nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+    n_tokens = pc.if_else(nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32()))
+    n = pc.cast(pc.utf8_length(text), pa.float64())
+    alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+    alpha_ratio = pc.divide(alpha, pc.max_element_wise(n, pa.scalar(1.0)))
+    digests = [
+        hashlib.md5(t.encode("utf-8")).hexdigest() for t in text.to_pylist()
+    ]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "text_hash": pa.array(digests),
+            "n_tokens": pc.cast(n_tokens, pa.int64()),
+            "alpha_ratio": alpha_ratio,
+        }
+    )
+
+
+def curated_dataset(
+    sf_dir: str,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+) -> "ray.data.Dataset":
+    """documents -> kept (doc_id, n_tokens, alpha_ratio) rows."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    stats = ds.map_batches(_stats_and_hash, batch_format="pyarrow",
+                           batch_size=65536)
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["n_tokens"], min_tokens),
+            pc.greater_equal(batch["alpha_ratio"], min_alpha),
+        )
+        return batch.filter(mask)
+
+    filtered = stats.map_batches(quality_filter, batch_format="pyarrow")
+
+    # exact dedup keep-one: hash-partitioned, min doc_id per text_hash
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return part.loc[part.groupby("text_hash")["doc_id"].idxmin()]
+
+    return partitioned_apply(filtered, ["text_hash"], keep_first)
+
+
+def q_curate_documents(sf_dir: str) -> pa.Table:
+    kept = _to_table(curated_dataset(sf_dir))
+    kept = kept.select(["doc_id", "n_tokens", "alpha_ratio"])
+    return _round(kept, {"alpha_ratio": 4})
+
+
+Q_CURATE_DOCUMENTS_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+         END AS n_tokens,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+           / GREATEST(LENGTH(text), 1.0) AS alpha_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM stats
+  WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text
+)
+SELECT f.doc_id, f.n_tokens, ROUND(f.alpha_ratio, 4) AS alpha_ratio
+FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
+"""
+
+
+def q_curate_documents_near_dup(sf_dir: str) -> pa.Table:
+    """Curation + MinHash near-dup pruning: drop kept docs that are
+    non-canonical members of a near-dup cluster (rows-only check)."""
+    from ..ops.dedup import q_dedup_clusters
+
+    kept = _to_table(curated_dataset(sf_dir)).to_pandas()
+    clusters = q_dedup_clusters(sf_dir).to_pandas()
+    drop = set(clusters.loc[~clusters["keep"], "doc_id"])
+    kept = kept[~kept["doc_id"].isin(drop)]
+    out = pa.Table.from_pandas(
+        kept[["doc_id", "n_tokens", "alpha_ratio"]], preserve_index=False
+    )
+    return _round(out, {"alpha_ratio": 4})

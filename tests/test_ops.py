@@ -249,3 +249,39 @@ class TestDedupClusters:
         assert chain.set_index("doc_id")["keep"].to_dict() == {
             0: True, 30: False, 31: False,
         }
+
+
+class TestCuration:
+    def test_all_decisions(self, ray_session, tmp_path):
+        """One doc per curation outcome: kept / too-short / low-alpha /
+        exact-dup / near-dup non-canonical."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.pipelines.curate import (
+            q_curate_documents,
+            q_curate_documents_near_dup,
+        )
+
+        base = "the quick brown fox jumps over the lazy dog again and again today"
+        texts = {
+            0: base,                                  # kept
+            1: "too short",                           # < 10 tokens
+            2: "1 2 3 4 5 6 7 8 9 10 11 12 13 14",    # low alpha ratio
+            3: base,                                  # exact dup of 0
+            4: base.replace("dog", "cat"),            # near dup of 0
+            5: "a completely different sentence with plenty of unique words inside it",
+        }
+        table = pa.table(
+            {"doc_id": pa.array(sorted(texts), type=pa.int64()),
+             "text": pa.array([texts[k] for k in sorted(texts)])}
+        )
+        sf = tmp_path / "sf"; sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+
+        kept = set(q_curate_documents(str(sf)).to_pandas()["doc_id"])
+        assert kept == {0, 4, 5}  # 1,2 filtered; 3 exact-dup of 0
+        kept_nd = set(
+            q_curate_documents_near_dup(str(sf)).to_pandas()["doc_id"]
+        )
+        assert kept_nd == {0, 5}  # 4 pruned as near-dup of 0
