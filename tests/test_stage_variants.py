@@ -14,7 +14,9 @@ def turns_ds(ray_session, small_corpus):
 
     from jochre3_ocr_ray.sources.reader import read_transcripts
 
-    return read_transcripts(small_corpus, limit=120)
+    # no limit: ds.limit picks whichever blocks finish first, so a
+    # limited dataset is a DIFFERENT row subset on each execution
+    return read_transcripts(small_corpus)
 
 
 class TestActorVsTask:
