@@ -161,10 +161,19 @@ def run_extraction(
         tmp = log.begin_shard(shard_id)
         out = prepared[i]
         out.write_parquet(str(tmp), partition_cols=["bucket"])
-        rows = sum(
-            f.metadata.num_rows
-            for f in map(_parquet_file, sorted(tmp.glob("**/*.parquet")))
-        )
+        rows = 0
+        n_words = 0
+        n_empty = 0
+        for path in sorted(tmp.glob("**/*.parquet")):
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(path, columns=["n_words"])
+            rows += t.num_rows
+            col = t["n_words"]
+            import pyarrow.compute as pc
+
+            n_words += pc.sum(col).as_py() or 0
+            n_empty += pc.sum(pc.cast(pc.equal(col, 0), "int64")).as_py() or 0
         log.commit_shard(
             shard_id,
             tmp,
@@ -172,6 +181,7 @@ def run_extraction(
             rows_in=rows,
             rows_out=rows,
             wall_sec=time.perf_counter() - t_shard,
+            metrics={"n_words": int(n_words), "empty_turns": int(n_empty)},
         )
         return rows
 

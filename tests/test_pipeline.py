@@ -174,3 +174,5 @@ class TestResume:
         assert m["rows_out"] > 0
         assert m["inputs"]
         assert m["pipeline_version"].startswith("jochre3-ocr-ray/")
+        assert m["metrics"]["n_words"] > 0
+        assert m["metrics"]["empty_turns"] >= 0
