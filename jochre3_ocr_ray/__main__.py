@@ -64,6 +64,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("out_dir")
     p.add_argument("--seed", type=int, default=42)
 
+    p = sub.add_parser("stats")
+    p.add_argument("work_dir")
+
     p = sub.add_parser("evaluate")
     p.add_argument("predicted_dir")
     p.add_argument("expected_dir")
@@ -78,6 +81,38 @@ def main(argv: list[str] | None = None) -> int:
 
         out = generate_transcripts(args.n_turns, args.out_dir, seed=args.seed)
         print(json.dumps({"out_dir": str(out), "n_turns": args.n_turns}))
+        return 0
+
+    if args.cmd == "stats":
+        # lineage summary: no Ray session needed (reads manifests only)
+        from .state.lineage import LineageLog
+
+        log = LineageLog(f"{args.work_dir}/turns")
+        shards = log.completed_shards()
+        manifests = [
+            json.loads(log._manifest_path(s).read_text()) for s in shards
+        ]
+        print(
+            json.dumps(
+                {
+                    "completed_shards": len(shards),
+                    "rows": sum(m["rows_out"] for m in manifests),
+                    "n_words": sum(
+                        m.get("metrics", {}).get("n_words", 0) for m in manifests
+                    ),
+                    "empty_turns": sum(
+                        m.get("metrics", {}).get("empty_turns", 0)
+                        for m in manifests
+                    ),
+                    "total_wall_sec": round(
+                        sum(m["wall_sec"] for m in manifests), 1
+                    ),
+                    "pipeline_version": manifests[0]["pipeline_version"]
+                    if manifests
+                    else None,
+                }
+            )
+        )
         return 0
 
     ray = _ray_session()

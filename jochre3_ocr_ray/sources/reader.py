@@ -32,3 +32,53 @@ def read_transcripts(
     if limit is not None:
         ds = ds.limit(limit)
     return ds
+
+
+def read_transcripts_jsonl(
+    input_dir: str | Path,
+    *,
+    pattern: str = r".*\.jsonl$",
+) -> "ray.data.Dataset":
+    """Alternate source format: JSON-lines transcripts.
+
+    Coerces to the canonical TRANSCRIPT_SCHEMA (missing ``tool`` ->
+    ""; ``ts`` parsed from ISO-8601 strings; ``turn_idx`` -> int32) so
+    downstream stages see one schema regardless of the source format —
+    the multiple-input-format surface of the reference
+    (``getFilesFromDir``'s pdf|jpg|png filter, ``Jochre.scala:109-119``).
+    """
+    import pyarrow as pa
+
+    rx = re.compile(pattern)
+    files = sorted(
+        str(p) for p in Path(input_dir).iterdir() if rx.match(p.name)
+    )
+    if not files:
+        raise FileNotFoundError(f"no files matching {pattern!r} under {input_dir}")
+    ds = ray.data.read_json(files)
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        names = set(batch.column_names)
+        tool = (
+            pc.fill_null(batch["tool"], "")
+            if "tool" in names
+            else pa.array([""] * n, type=pa.string())
+        )
+        ts = batch["ts"]
+        if pa.types.is_string(ts.type):
+            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us")
+        return pa.table(
+            {
+                "conv_id": pc.cast(batch["conv_id"], pa.string()),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "role": pc.cast(batch["role"], pa.string()),
+                "text": pc.fill_null(pc.cast(batch["text"], pa.string()), ""),
+                "tool": pc.cast(tool, pa.string()),
+                "ts": pc.cast(ts, pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(coerce, batch_format="pyarrow")

@@ -104,3 +104,27 @@ class TestReader:
         assert ds.count() == 10
         with pytest.raises(FileNotFoundError):
             read_transcripts(small_corpus, pattern=r"nope-.*")
+
+
+class TestJsonlSource:
+    def test_jsonl_coerced_and_extractable(self, ray_session, tmp_path, lexicon):
+        import json as _json
+
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+        from jochre3_ocr_ray.sources.reader import read_transcripts_jsonl
+
+        rows = [
+            {"conv_id": "c1", "turn_idx": 0, "role": "user",
+             "text": "Jimi Hend-\nrix Experience", "ts": "2026-01-01T00:00:00"},
+            {"conv_id": "c1", "turn_idx": 1, "role": "tool",
+             "text": "plain reply", "tool": "search",
+             "ts": "2026-01-01T00:01:00"},
+        ]
+        path = tmp_path / "t.jsonl"
+        path.write_text("\n".join(_json.dumps(r) for r in rows))
+        ds = read_transcripts_jsonl(tmp_path)
+        out = build_extraction(ds).to_pandas().sort_values("turn_idx")
+        assert list(out["processed_text"]) == [
+            "Jimi Hendrix Experience", "plain reply",
+        ]
+        assert str(out.dtypes["ts"]).startswith("datetime64")
