@@ -40,7 +40,34 @@ from .normalize import collapse_inline_whitespace
 _MARKUP = re.compile(r"<[a-zA-Z!/][^>]*>")
 _COMMENT = re.compile(r"<!--.*?-->", re.DOTALL)
 _SCRIPT_STYLE = re.compile(r"<(script|style)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
-_BOILERPLATE = re.compile(r"<(nav|header|footer|aside)\b[^>]*>.*?</\1\s*>", re.DOTALL | re.IGNORECASE)
+_BOILERPLATE_TAG = re.compile(r"<(/?)(?:nav|header|footer|aside)\b[^>]*>", re.IGNORECASE)
+
+
+def _strip_boilerplate(text: str) -> str:
+    """Remove nav/header/footer/aside ELEMENTS, handling nesting and
+    unclosed containers (a non-greedy regex mis-scopes nested
+    same-name tags; this is a depth-counting scan). Content inside an
+    unclosed container is dropped to end-of-document (conservative:
+    chrome containers rarely wrap the main content)."""
+    out: list[str] = []
+    depth = 0
+    pos = 0
+    for m in _BOILERPLATE_TAG.finditer(text):
+        closing = bool(m.group(1))
+        if closing:
+            if depth > 0:
+                depth -= 1
+                if depth == 0:
+                    pos = m.end()
+            # stray close tag at depth 0: leave it (generic tag strip
+            # removes it later)
+        else:
+            if depth == 0:
+                out.append(text[pos : m.start()])
+            depth += 1
+    if depth == 0:
+        out.append(text[pos:])
+    return " ".join(out)
 _BR = re.compile(r"<br\s*/?>", re.IGNORECASE)
 _BLOCK_TAGS = r"p|div|h[1-6]|li|ul|ol|tr|td|th|table|section|article|main|blockquote|pre|form|figure"
 _BLOCK_TAG = re.compile(rf"</?(?:{_BLOCK_TAGS})\b[^>]*>", re.IGNORECASE)
@@ -121,7 +148,7 @@ def _plain_blocks(text: str) -> list[SegmentedBlock]:
 def _markup_blocks(text: str) -> list[SegmentedBlock]:
     text = _COMMENT.sub(" ", text)
     text = _SCRIPT_STYLE.sub(" ", text)
-    text = _BOILERPLATE.sub(" ", text)
+    text = _strip_boilerplate(text)
     if _POSITIONED_OPEN.search(text):
         return _positioned_blocks(text)
     text = _BR.sub("\n", text)

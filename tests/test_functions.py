@@ -270,3 +270,23 @@ class TestExtractTurn:
         )
         r = extract_turn(payload, 9, lexicon)
         assert r["extracted_text"] == "first\n\nsecond"
+
+
+class TestBoilerplateNesting:
+    def test_nested_containers_fully_removed(self):
+        from jochre3_ocr_ray.functions.segmenter import segment
+
+        html = "<nav>outer<nav>inner</nav>tail</nav><p>real content</p>"
+        assert [b.lines for b in segment(html)] == [["real content"]]
+
+    def test_unclosed_container_drops_to_end(self):
+        from jochre3_ocr_ray.functions.segmenter import segment
+
+        html = "<p>body first</p><footer>chrome without close"
+        assert [b.lines for b in segment(html)] == [["body first"]]
+
+    def test_stray_close_tag_harmless(self):
+        from jochre3_ocr_ray.functions.segmenter import segment
+
+        html = "<p>content here</p></nav>"
+        assert [b.lines for b in segment(html)] == [["content here"]]
