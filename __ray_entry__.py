@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
+        "dedup_ngram": dedup.q_dedup_ngram,
         "dedup_simhash": dedup.q_dedup_simhash,
         "embedding_near_dup": dedup.q_embedding_near_dup,
         "embedding_near_dup_lsh": dedup.q_embedding_near_dup_lsh,
@@ -98,7 +99,12 @@ def oracle_sql() -> dict[str, str]:
         "order_lineitem_join": relational.Q_ORDER_LINEITEM_JOIN_SQL,
         "events_sliding": relational.Q_EVENTS_SLIDING_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
+        "dedup_minhash": dedup.Q_DEDUP_MINHASH_SQL,
+        "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,
+        "dedup_simhash": dedup.Q_DEDUP_SIMHASH_SQL,
+        "dedup_clusters": dedup.Q_DEDUP_CLUSTERS_SQL,
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
+        "embedding_near_dup_lsh": dedup.Q_EMBEDDING_NEAR_DUP_LSH_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
         "token_count": textstats.Q_TOKEN_COUNT_SQL,
         "quality_score": textstats.Q_QUALITY_SCORE_SQL,

@@ -8,16 +8,39 @@ Scale-first designs (the brief's training-data-pipeline components):
   block, not the corpus.
 * **MinHash + LSH** — word-shingle sets -> k=64 permutations (one
   vectorized universal-hash pass per batch, numpy) -> b bands × r rows
-  -> explode to (band, band_hash, doc_id) -> ``groupby`` band buckets
-  -> candidate pairs -> exact Jaccard verification on the shingle
-  sets. Only bucket-mates are verified: the all-pairs O(N²) never
-  happens.
-* **SimHash** — 64-bit signature from hashed token features; pairs
-  within Hamming distance d found by the 4-segment pigeonhole trick
-  (segment-exact-match buckets), verified on true Hamming distance.
+  -> explode to (band, doc_id, shingle_array) -> ``groupby`` band
+  buckets -> exact-Jaccard verification INSIDE the band partition.
+  Band rows CARRY the doc's shingle array, so every verify partition
+  is self-contained: no driver materialization, no corpus broadcast,
+  one shuffle total. Only bucket-mates are verified — the all-pairs
+  O(N²) never happens. Shuffle volume is bands× the shingle arrays;
+  the alternative shape (candidate ids only + a hash-partitioned
+  join back to the corpus) is ``q_dedup_ngram`` below.
+* **n-gram Jaccard (exact)** — inverted shingle index: explode
+  (shingle, doc_id), pairs within each shingle bucket, then a fully
+  distributed JOIN-BACK of candidate pairs to the per-doc shingle
+  arrays by doc_id (hash-partitioned union, no broadcast), exact
+  Jaccard verify per pair partition. Recall 1 by construction (any
+  pair with J>0 shares a shingle).
+* **SimHash** — 64-bit signature from md5 token hashes (md5 so the
+  DuckDB oracle can recompute the signature bit-for-bit in SQL);
+  pairs within Hamming distance d found by the 4-segment pigeonhole
+  trick (recall 1 for d<=3: two sigs differing in <=3 bits agree on
+  at least one of 4 disjoint 16-bit segments), verified on true
+  Hamming distance.
 * **Embedding near-dup** — exact blocked cosine against a broadcast
   matrix at test scale (the oracle-checkable baseline); the LSH
-  (random-hyperplane) bucketed variant is the 100 TB path.
+  (random-hyperplane) bucketed variant is the 100 TB path, checked
+  against the exact twin (precision must be 1, recall floor).
+
+Oracle strategy: the synthetic corpus's planted near-dups all have
+Jaccard >= 0.9, where the fixed-seed 16x4 LSH finds a pair with
+probability 1-(1-j^4)^16 ~ 1-4e-8 — so the verified MinHash pairs
+deterministically EQUAL the exact n-gram Jaccard pair set, which
+DuckDB computes directly from shingle strings (tokenize -> 2-gram ->
+set-join). That turns the "approximate" queries into hash-checked
+ones on this data; pytest pins recall behavior on adversarial planted
+cases separately.
 
 Determinism: all hash seeds fixed; candidate pairs emitted as
 ``id_a < id_b``.
@@ -51,15 +74,23 @@ _PERM_B = _RNG.randint(0, _MERSENNE, size=_N_PERM, dtype=np.int64)
 _BANDS = 16
 _ROWS_PER_BAND = _N_PERM // _BANDS
 
+JACCARD_THRESHOLD = 0.4
 
 _FNV_PRIME = np.uint64(1099511628211)
+
+
+def _norm_tokens(text: str) -> list[str]:
+    tokens = _WS.sub(" ", text.strip()).lower().split(" ")
+    if not tokens or tokens == [""]:
+        return []
+    return tokens
 
 
 def _token_hashes(text: str) -> np.ndarray:
     """Stable per-token 64-bit hashes (two crc32 halves — C-speed,
     process-stable, unlike Python's seeded ``hash``)."""
-    tokens = _WS.sub(" ", text.strip()).lower().split(" ")
-    if not tokens or tokens == [""]:
+    tokens = _norm_tokens(text)
+    if not tokens:
         return np.empty(0, dtype=np.uint64)
     return np.fromiter(
         (
@@ -72,13 +103,14 @@ def _token_hashes(text: str) -> np.ndarray:
     )
 
 
-def _shingles(text: str, n: int = 2) -> set[int]:
-    """Word n-gram shingles as stable 61-bit ints (vectorized FNV-style
-    combine of per-token hashes — one numpy pass, no per-shingle
-    digest calls)."""
+def _shingle_array(text: str, n: int = 2) -> np.ndarray:
+    """Word n-gram shingles as a SORTED UNIQUE int64 array of stable
+    61-bit ints (vectorized FNV-style combine of per-token hashes —
+    one numpy pass, no per-shingle digest calls). Array form so verify
+    stages can use ``np.intersect1d(assume_unique=True)``."""
     hs = _token_hashes(text)
     if len(hs) == 0:
-        return set()
+        return np.empty(0, dtype=np.int64)
     if len(hs) < n:
         acc = hs[:1].copy()
         for k in range(1, len(hs)):
@@ -89,15 +121,27 @@ def _shingles(text: str, n: int = 2) -> set[int]:
         for k in range(1, n):
             acc = (acc * _FNV_PRIME) ^ hs[k : m + k]
     acc &= np.uint64((1 << 61) - 1)
-    return set(acc.tolist())
+    return np.unique(acc.astype(np.int64))
 
 
-def _minhash(shingles: set[int]) -> np.ndarray:
-    if not shingles:
+def _shingles(text: str, n: int = 2) -> set[int]:
+    """Set view of ``_shingle_array`` (kept for kernel-level callers)."""
+    return set(_shingle_array(text, n).tolist())
+
+
+def _jaccard_arrays(sa: np.ndarray, sb: np.ndarray) -> float:
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 0.0
+
+
+def _minhash(shingles: "np.ndarray | set[int]") -> np.ndarray:
+    if not isinstance(shingles, np.ndarray):
+        shingles = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
+    if shingles.size == 0:
         return np.full(_N_PERM, _MERSENNE, dtype=np.int64)
-    arr = np.fromiter(shingles, dtype=np.int64, count=len(shingles))
     # (a*x + b) mod p for all perms at once: (n_perm, n_shingles)
-    prods = (_PERM_A[:, None] * arr[None, :] + _PERM_B[:, None]) % _MERSENNE
+    prods = (_PERM_A[:, None] * shingles[None, :] + _PERM_B[:, None]) % _MERSENNE
     return prods.min(axis=1)
 
 
@@ -108,6 +152,63 @@ def _band_keys(sig: np.ndarray) -> list[str]:
         digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
         keys.append(f"{b}:{digest}")
     return keys
+
+
+# ----------------------------------------------------- shared oracle SQL
+def _norm_text_sql(col: str = "text") -> str:
+    """SQL replica of ``_norm_tokens``'s normalization: strip, collapse
+    whitespace, lowercase (ASCII corpus — SQL/Python lower agree)."""
+    return (
+        f"regexp_replace(regexp_replace(lower({col}), '^\\s+|\\s+$', '', 'g'),"
+        " '\\s+', ' ', 'g')"
+    )
+
+
+def _true_pairs_ctes(threshold: float) -> str:
+    """CTE chain computing the EXACT word-2-gram Jaccard pairs >= t
+    from shingle STRINGS — the independent SQL ground truth the hashed
+    Ray pipelines are checked against (collision probability of the
+    61-bit shingle hashes is ~1e-14 at test scale; deterministic data,
+    verified equal)."""
+    return f"""
+norm AS (
+  SELECT doc_id, {_norm_text_sql()} AS t FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS tok,
+         generate_subscripts(string_split(t, ' '), 1) AS pos
+  FROM norm
+),
+sh AS (
+  SELECT DISTINCT doc_id, tok || ' ' || nxt AS shingle
+  FROM (
+    SELECT doc_id, tok, pos,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  )
+  WHERE nxt IS NOT NULL
+),
+sh_counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+sh_inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+true_pairs AS (
+  SELECT id_a, id_b,
+         CAST(i AS DOUBLE) / (ca.n + cb.n - i) AS jaccard
+  FROM sh_inter
+  JOIN sh_counts ca ON ca.doc_id = id_a
+  JOIN sh_counts cb ON cb.doc_id = id_b
+  WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= {threshold}
+)"""
+
+
+TRUE_PAIRS_SQL = f"""
+WITH {_true_pairs_ctes(JACCARD_THRESHOLD)}
+SELECT id_a, id_b, ROUND(jaccard, 4) AS jaccard FROM true_pairs
+"""
 
 
 # ------------------------------------------------------------------ exact
@@ -144,22 +245,40 @@ GROUP BY text
 
 # ----------------------------------------------------------- minhash lsh
 def minhash_band_rows(
-    ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_shingles: bool = True,
 ) -> "ray.data.Dataset":
-    """documents -> exploded (band, doc_id) LSH rows."""
+    """documents -> exploded (band, doc_id[, shingles]) LSH rows.
+
+    With ``carry_shingles`` each band row carries the doc's sorted
+    shingle array so the downstream verify partition is SELF-CONTAINED
+    (no driver-side corpus map, no broadcast — the scale requirement).
+    Cost: bands× replication of the shingle arrays through the one
+    shuffle; the join-back alternative that moves them once is
+    ``q_dedup_ngram``."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bands = [], []
+        ids, bands, sh_lists = [], [], []
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
-            sig = _minhash(_shingles(text))
+            sh = _shingle_array(text)
+            sig = _minhash(sh)
             for key in _band_keys(sig):
                 ids.append(doc_id)
                 bands.append(key)
-        return pa.table(
-            {"band": pa.array(bands), id_col: pa.array(ids, type=pa.int64())}
-        )
+                if carry_shingles:
+                    sh_lists.append(sh)
+        cols = {"band": pa.array(bands), id_col: pa.array(ids, type=pa.int64())}
+        if carry_shingles:
+            # binary (raw int64 bytes), not list<int64>: survives the
+            # pandas partition stage losslessly and decodes zero-copy
+            cols["shingles"] = pa.array(
+                [s.tobytes() for s in sh_lists], type=pa.binary()
+            )
+        return pa.table(cols)
 
     return ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
 
@@ -168,7 +287,7 @@ def minhash_candidate_pairs(
     ds: "ray.data.Dataset", text_col: str = "text", id_col: str = "doc_id"
 ) -> "ray.data.Dataset":
     """documents -> deduped (id_a, id_b) LSH candidate pairs."""
-    banded = minhash_band_rows(ds, text_col, id_col)
+    banded = minhash_band_rows(ds, text_col, id_col, carry_shingles=False)
 
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         # vectorized pre-filter: only bands with >=2 members can yield
@@ -190,65 +309,245 @@ def minhash_candidate_pairs(
     )
 
 
-def q_dedup_minhash(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """Near-dup pairs: LSH candidates verified with exact Jaccard
-    (candidate generation + verification fused into the single band
-    shuffle; see inline comments)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+def minhash_verified_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """LSH candidates verified with exact Jaccard, fully distributed.
 
-    # broadcast the raw texts (small side); the verify stage computes
-    # shingles lazily ONLY for docs that appear in candidate pairs, with
-    # a per-partition memo — no all-docs shingle pass, no big driver map.
-    # The 100 TB path re-reads pair shards by id-range instead.
-    docs_df = _to_table(ds).to_pandas()
-    text_ref = ray.put(dict(zip(docs_df["doc_id"].astype(int), docs_df["text"])))
-    # ONE shuffle total: candidate generation AND exact-Jaccard verify
-    # fused into the band-partition stage. A pair surfacing in several
-    # bands is verified once per band (cheap — per-partition shingle
-    # memo); the final dedup runs driver-side on the VERIFIED pairs,
-    # which are tiny relative to the corpus even at scale.
-    banded = minhash_band_rows(ds)
+    ONE shuffle total: candidate generation AND exact-Jaccard verify
+    fused into the band-partition stage; band rows carry the shingle
+    arrays so nothing re-reads or broadcasts the corpus. A pair
+    surfacing in several bands is verified in each (cheap — sorted
+    array intersections) and deduped by a second small hash-partitioned
+    stage over the verified pairs (tiny relative to the corpus)."""
+    banded = minhash_band_rows(ds, text_col, id_col, carry_shingles=True)
 
     def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
-        texts = ray.get(text_ref)
-        memo: dict[int, set[int]] = {}
-
-        def sh(doc_id: int) -> set[int]:
-            s = memo.get(doc_id)
-            if s is None:
-                s = _shingles(texts[doc_id])
-                memo[doc_id] = s
-            return s
-
         part = part[part.duplicated("band", keep=False)]
         out = []
         for _, group in part.groupby("band", sort=False):
-            ids = sorted(group["doc_id"].unique())
-            for i, a in enumerate(ids):
-                for b in ids[i + 1 :]:
-                    sa, sb = sh(int(a)), sh(int(b))
-                    union = len(sa | sb)
-                    j = len(sa & sb) / union if union else 0.0
-                    if j >= threshold:
-                        out.append((int(a), int(b), j))
+            group = group.drop_duplicates(id_col)
+            if len(group) < 2:
+                continue
+            rows = group.sort_values(id_col)
+            ids = rows[id_col].to_numpy()
+            shs = [np.frombuffer(s, dtype=np.int64) for s in rows["shingles"]]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    jac = _jaccard_arrays(shs[i], shs[j])
+                    if jac >= threshold:
+                        out.append((int(ids[i]), int(ids[j]), jac))
         return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
             {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
         )
 
-    verified = _to_table(
-        partitioned_apply(banded, ["band"], verify_partition)
-    ).to_pandas()
-    verified = verified.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
-    return _round(
-        pa.Table.from_pandas(verified, preserve_index=False), {"jaccard": 4}
+    verified = partitioned_apply(banded, ["band"], verify_partition)
+    return partitioned_apply(
+        verified, ["id_a", "id_b"],
+        lambda part: part.drop_duplicates(["id_a", "id_b"]),
     )
 
 
+def q_dedup_minhash(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> pa.Table:
+    """Near-dup pairs: LSH candidates verified with exact Jaccard.
+
+    Hash-checked against ``TRUE_PAIRS_SQL``: on this corpus every true
+    pair has J >= 0.9 where the fixed-seed 16x4-band LSH recall is
+    1-(1-j^4)^16 > 1-4e-8, so the verified pairs equal the exact pair
+    set (verified empirically at every sf; deterministic seeds/data)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs = _to_table(minhash_verified_pairs(ds, threshold))
+    return _round(pairs, {"jaccard": 4})
+
+
+Q_DEDUP_MINHASH_SQL = TRUE_PAIRS_SQL
+
+
+# ------------------------------------------------- exact n-gram jaccard
+def ngram_exact_pairs(
+    ds: "ray.data.Dataset",
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT n-gram-Jaccard pairs via an inverted shingle index + a
+    distributed join-back — recall 1, no broadcast, no driver pass.
+
+    Stages (all hash-partitioned shuffles, corpus never materializes):
+
+    1. per-doc shingle arrays (one map pass);
+    2. explode (shingle, doc_id) -> ``groupby(shingle)`` buckets ->
+       candidate pairs = bucket-mates (every J>0 pair shares a
+       shingle, so recall is 1 by construction);
+    3. JOIN-BACK: candidate (doc_id, id_a, id_b) need-rows unioned
+       with (doc_id, shingles) have-rows, ``groupby(doc_id)`` attaches
+       each side's shingle array — the corpus moves ONCE, keyed by id;
+    4. ``groupby(id_a, id_b)`` gathers both sides, dedups multi-bucket
+       discoveries, verifies exact Jaccard >= t.
+
+    ``max_df`` (off by default — exactness) drops shingles appearing
+    in more than ``max_df`` docs from candidate GENERATION only: the
+    stop-shingle hot-bucket guard for web-scale corpora, at the cost
+    of missing pairs whose every shared shingle is ultra-common."""
+
+    def to_docsets(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        shs = [_shingle_array(t) for t in batch[text_col].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "shingles": pa.array(
+                    [s.tobytes() for s in shs], type=pa.binary()
+                ),
+            }
+        )
+
+    docsets = ds.map_batches(to_docsets, batch_format="pyarrow", batch_size=4096)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, shingle_arrs = [], []
+        for doc_id, sh in zip(
+            batch["doc_id"].to_pylist(), batch["shingles"].to_pylist()
+        ):
+            arr = np.frombuffer(sh, dtype=np.int64)
+            doc_ids.append(np.full(arr.size, doc_id, dtype=np.int64))
+            shingle_arrs.append(arr)
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(shingle_arrs)),
+                "doc_id": pa.array(np.concatenate(doc_ids)),
+            }
+        )
+
+    inverted = docsets.map_batches(explode, batch_format="pyarrow")
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("shingle", keep=False)]
+        out_a, out_b = [], []
+        for _, group in part.groupby("shingle", sort=False):
+            ids = np.sort(group["doc_id"].unique())
+            m = len(ids)
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            ii, jj = np.triu_indices(m, k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        df = pd.DataFrame(
+            {"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)}
+        )
+        # local dedup: the same pair from many shingles in this bucket
+        return df.drop_duplicates()
+
+    cand = partitioned_apply(inverted, ["shingle"], bucket_pairs)
+
+    # join-back: need-rows (one per pair side) + have-rows (shingle sets)
+    def to_needs(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_pylist()
+        b = batch["id_b"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(a + b, type=pa.int64()),
+                # id_a = -1 marks a "have" row; >= 0 marks a pair side
+                "id_a": pa.array(a + a, type=pa.int64()),
+                "id_b": pa.array(b + b, type=pa.int64()),
+                "shingles": pa.array([b""] * (2 * len(a)), type=pa.binary()),
+            }
+        )
+
+    needs = cand.map_batches(to_needs, batch_format="pyarrow")
+
+    def to_haves(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "id_a": pa.array(np.full(n, -1, dtype=np.int64)),
+                "id_b": pa.array(np.full(n, -1, dtype=np.int64)),
+                "shingles": batch["shingles"],
+            }
+        )
+
+    haves = docsets.map_batches(to_haves, batch_format="pyarrow")
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        have = part[part["id_a"] < 0]
+        need = part[part["id_a"] >= 0]
+        if need.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "shingles": pd.Series(dtype="object"),
+                }
+            )
+        lookup = dict(zip(have["doc_id"], have["shingles"]))
+        out = need[["id_a", "id_b", "doc_id"]].copy()
+        out["shingles"] = [lookup.get(d, b"") for d in need["doc_id"]]
+        return out.astype({"id_a": "int64", "id_b": "int64", "doc_id": "int64"})
+
+    sided = partitioned_apply(needs.union(haves), ["doc_id"], attach)
+
+    def verify(part: pd.DataFrame) -> pd.DataFrame:
+        # dedup multi-bucket discoveries BEFORE verifying
+        part = part.drop_duplicates(["id_a", "id_b", "doc_id"])
+        out = []
+        for (a, b), group in part.groupby(["id_a", "id_b"], sort=False):
+            if len(group) != 2:
+                continue
+            sa, sb = (np.frombuffer(s, dtype=np.int64) for s in group["shingles"])
+            jac = _jaccard_arrays(sa, sb)
+            if jac >= threshold:
+                out.append((int(a), int(b), jac))
+        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    return partitioned_apply(sided, ["id_a", "id_b"], verify)
+
+
+def q_dedup_ngram(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
+    """Exact n-gram Jaccard near-dup pairs (recall 1) — the
+    join-back-shaped twin of ``q_dedup_minhash``; same oracle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _round(_to_table(ngram_exact_pairs(ds, threshold)), {"jaccard": 4})
+
+
+Q_DEDUP_NGRAM_SQL = TRUE_PAIRS_SQL
+
+
 # --------------------------------------------------------------- simhash
+_MD5_CACHE: dict[str, int] = {}
+
+
+def _md5_token_hash(tok: str) -> int:
+    """64-bit token hash = first 16 hex chars of md5 — chosen because
+    DuckDB's ``md5()`` + hex cast recomputes it exactly, giving the
+    SimHash pipeline a bit-for-bit SQL oracle."""
+    h = _MD5_CACHE.get(tok)
+    if h is None:
+        h = int(hashlib.md5(tok.encode("utf-8")).hexdigest()[:16], 16)
+        if len(_MD5_CACHE) < 1_000_000:  # bounded per-process memo
+            _MD5_CACHE[tok] = h
+    return h
+
+
 def _simhash(text: str) -> int:
-    hs = _token_hashes(text)
-    if len(hs) == 0:
+    tokens = _norm_tokens(text)
+    if not tokens:
         return 0
+    hs = np.fromiter(
+        (_md5_token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
+    )
     # all tokens x 64 bit positions in one vectorized pass
     bits = (
         (hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
@@ -261,8 +560,19 @@ def _simhash(text: str) -> int:
     return sig
 
 
-def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
-    """Near-dup pairs by SimHash, pigeonhole-bucketed on 16-bit segments."""
+SIMHASH_MAX_HAMMING = 3
+
+
+def q_dedup_simhash(
+    sf_dir: str, max_hamming: int = SIMHASH_MAX_HAMMING
+) -> pa.Table:
+    """Near-dup pairs by SimHash, pigeonhole-bucketed on 16-bit
+    segments. EXACT for ``max_hamming <= 3``: two 64-bit signatures
+    within Hamming 3 must agree on one of the 4 disjoint segments, so
+    bucket recall is 1 and the output is precisely *all* pairs with
+    Hamming(sig_a, sig_b) <= d — which the generated SQL oracle
+    recomputes from scratch (md5 token hashes -> per-bit majority ->
+    pairwise ``bit_count(xor(...))``)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sign(batch: pa.Table) -> pa.Table:
@@ -306,10 +616,54 @@ def q_dedup_simhash(sf_dir: str, max_hamming: int = 3) -> pa.Table:
     )
 
 
+def _simhash_oracle_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
+    """Generate the SQL that recomputes SimHash signatures bit-for-bit
+    (md5 token hash = Python ``_md5_token_hash``; per-bit majority over
+    token MULTIplicity; tie -> 0) and emits all pairs within Hamming
+    ``max_hamming``."""
+    bit_terms = ",\n         ".join(
+        f"CASE WHEN SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0"
+        f" THEN {1 << b}::UBIGINT ELSE 0::UBIGINT END AS b{b}"
+        for b in range(64)
+    )
+    bit_or = " | ".join(f"b{b}" for b in range(64))
+    return f"""
+WITH norm AS (
+  SELECT doc_id, {_norm_text_sql()} AS t FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+),
+tokhash AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks
+),
+sigbits AS (
+  SELECT doc_id,
+         {bit_terms}
+  FROM tokhash GROUP BY doc_id
+),
+sigs AS (SELECT doc_id, ({bit_or}) AS sig FROM sigbits)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
+"""
+
+
+Q_DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
+
+
 # ------------------------------------------------- embedding cosine dedup
-def q_embedding_near_dup(sf_dir: str, threshold: float = 0.9) -> pa.Table:
+EMBED_THRESHOLD = 0.9
+
+
+def q_embedding_near_dup(
+    sf_dir: str, threshold: float = EMBED_THRESHOLD
+) -> pa.Table:
     """Exact cosine near-dup pairs via blocked matmul vs a broadcast
-    matrix — the oracle-checkable baseline (LSH variant below scales)."""
+    matrix — the oracle-checkable BASELINE, deliberately capped to
+    test scale (O(N²) and a full-matrix broadcast; the LSH variant
+    below is the scale path and is checked against this twin)."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     all_df = ds.to_pandas()
     ids = all_df["vec_id"].to_numpy()
@@ -338,18 +692,19 @@ def q_embedding_near_dup(sf_dir: str, threshold: float = 0.9) -> pa.Table:
     return _round(pairs, {"cos_sim": 4})
 
 
-Q_EMBEDDING_NEAR_DUP_SQL = """
+Q_EMBEDDING_NEAR_DUP_SQL = f"""
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        ROUND(list_cosine_similarity(a.embedding, b.embedding), 4) AS cos_sim
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.9
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBED_THRESHOLD}
 """
 
 
-def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9) -> pa.Table:
+def embedding_lsh_pairs(
+    ds: "ray.data.Dataset", threshold: float = EMBED_THRESHOLD
+) -> "ray.data.Dataset":
     """Scale path: random-hyperplane LSH buckets, exact verify within
-    buckets only (approximate recall; rows-only check)."""
-    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    buckets only (approximate recall)."""
     planes = np.random.RandomState(7).standard_normal((16, 64))
     planes_ref = ray.put(planes)
 
@@ -391,19 +746,65 @@ def q_embedding_near_dup_lsh(sf_dir: str, threshold: float = 0.9) -> pa.Table:
         )
 
     pairs = partitioned_apply(banded, ["bucket"], verify)
-    deduped = partitioned_apply(
+    return partitioned_apply(
         pairs, ["id_a", "id_b"],
         lambda part: part.drop_duplicates(["id_a", "id_b"]),
     )
-    return _round(deduped, {"cos_sim": 4})
+
+
+LSH_RECALL_FLOOR = 0.5
+
+
+def q_embedding_near_dup_lsh(
+    sf_dir: str, threshold: float = EMBED_THRESHOLD
+) -> pa.Table:
+    """Driver-checked accuracy row for the LSH near-dup path, judged
+    against its exact oracle-green twin:
+
+    * ``n_true_pairs`` — exact pair count (SQL recomputes it
+      independently — the hard cross-check);
+    * ``n_false_positives`` — LSH pairs NOT in the exact set; must be
+      0 (LSH verifies true cosine in-bucket);
+    * ``recall_ok`` — recall vs the exact set >= {LSH_RECALL_FLOOR}
+      (vacuously true when the corpus has no near-dup pairs, as in
+      this testdata at 0.9 — pytest plants high-sim vectors to pin
+      real recall).
+
+    The pair LIST remains available via ``embedding_lsh_pairs``."""
+    ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    lsh = _to_table(embedding_lsh_pairs(ds, threshold)).to_pandas()
+    exact = q_embedding_near_dup(sf_dir, threshold).to_pandas()
+    lsh_set = (
+        set(zip(lsh["id_a"], lsh["id_b"])) if "id_a" in lsh.columns else set()
+    )
+    true_set = (
+        set(zip(exact["id_a"], exact["id_b"])) if "id_a" in exact.columns else set()
+    )
+    n_fp = len(lsh_set - true_set)
+    recall = (len(lsh_set & true_set) / len(true_set)) if true_set else 1.0
+    return pa.table(
+        {
+            "n_true_pairs": pa.array([len(true_set)], type=pa.int64()),
+            "n_false_positives": pa.array([n_fp], type=pa.int64()),
+            "recall_ok": pa.array([recall >= LSH_RECALL_FLOOR], type=pa.bool_()),
+        }
+    )
+
+
+Q_EMBEDDING_NEAR_DUP_LSH_SQL = f"""
+SELECT CAST((
+  SELECT COUNT(*) FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBED_THRESHOLD}
+) AS BIGINT) AS n_true_pairs,
+CAST(0 AS BIGINT) AS n_false_positives,
+true AS recall_ok
+"""
 
 
 # ------------------------------------------------------- n-gram jaccard
 def ngram_jaccard(text_a: str, text_b: str, n: int = 2) -> float:
     """Exact word n-gram Jaccard similarity (the verify kernel)."""
-    sa, sb = _shingles(text_a, n), _shingles(text_b, n)
-    union = len(sa | sb)
-    return len(sa & sb) / union if union else 0.0
+    return _jaccard_arrays(_shingle_array(text_a, n), _shingle_array(text_b, n))
 
 
 # ---------------------------------------------------- near-dup clustering
@@ -430,11 +831,14 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
-def q_dedup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
-    """Near-dup clusters: MinHash pairs -> connected components ->
-    (doc_id, cluster_id, keep). ``keep`` marks the canonical (min id)
-    member — the "keep first per group" dedup decision. Rows-only
-    check (LSH is approximate)."""
+def q_dedup_clusters(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> pa.Table:
+    """Near-dup clusters: MinHash-verified pairs -> connected
+    components -> (doc_id, cluster_id, keep). ``keep`` marks the
+    canonical (min id) member — the "keep first per group" dedup
+    decision. Hash-checked: the SQL oracle recomputes the exact pair
+    set and its transitive closure with a recursive CTE."""
     pairs_table = q_dedup_minhash(sf_dir, threshold=threshold)
     pairs = list(
         zip(
@@ -451,3 +855,30 @@ def q_dedup_clusters(sf_dir: str, threshold: float = 0.4) -> pa.Table:
             "keep": pa.array([labels[d] == d for d in doc_ids], type=pa.bool_()),
         }
     )
+
+
+def _clusters_ctes(threshold: float) -> str:
+    """True-pair CTEs + transitive closure -> ``clusters(doc_id,
+    cluster_id)`` (cluster id = min member). Closure is fine here:
+    near-dup components are tiny (planted dup groups)."""
+    return f"""{_true_pairs_ctes(threshold)},
+und AS (
+  SELECT id_a AS a, id_b AS b FROM true_pairs
+  UNION
+  SELECT id_b, id_a FROM true_pairs
+),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+clusters AS (
+  SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a
+)"""
+
+
+Q_DEDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_clusters_ctes(JACCARD_THRESHOLD)}
+SELECT doc_id, cluster_id, (cluster_id = doc_id) AS keep
+FROM clusters ORDER BY doc_id
+"""

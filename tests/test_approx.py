@@ -51,6 +51,9 @@ class TestIvfRecall:
 class TestEmbeddingLshNearDup:
     def test_planted_duplicates_recovered(self, ray_session, tmp_path):
         from jochre3_ocr_ray.ops.dedup import (
+            _read,
+            _to_table,
+            embedding_lsh_pairs,
             q_embedding_near_dup,
             q_embedding_near_dup_lsh,
         )
@@ -69,10 +72,17 @@ class TestEmbeddingLshNearDup:
         exact_pairs = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
         assert set(planted) <= exact_pairs
 
-        lsh = q_embedding_near_dup_lsh(sf, threshold=0.95).to_pandas()
+        ds = _read(sf, "embeddings", columns=["vec_id", "embedding"])
+        lsh = _to_table(embedding_lsh_pairs(ds, threshold=0.95)).to_pandas()
         lsh_pairs = {(int(a), int(b)) for a, b in zip(lsh.id_a, lsh.id_b)}
         # LSH is approximate: near-identical vectors share all hyperplane
         # signs, so planted pairs must all surface
         assert set(planted) <= lsh_pairs
         # and LSH finds no pair the exact pass rejects
         assert lsh_pairs <= exact_pairs
+
+        # the driver-checked accuracy row agrees
+        summary = q_embedding_near_dup_lsh(sf, threshold=0.95).to_pandas()
+        assert summary["n_true_pairs"][0] == len(exact_pairs)
+        assert summary["n_false_positives"][0] == 0
+        assert bool(summary["recall_ok"][0])

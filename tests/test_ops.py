@@ -130,6 +130,17 @@ class TestMinhashPipeline:
         # verify stage guarantees no below-threshold pairs
         assert (result["jaccard"] >= 0.5).all()
 
+        # the exact join-back twin finds the identical pair set (recall
+        # 1 by construction) with identical jaccard values
+        from jochre3_ocr_ray.ops.dedup import q_dedup_ngram
+
+        exact = q_dedup_ngram(str(sf), threshold=0.5).to_pandas()
+        exact_found = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+        assert found <= exact_found  # LSH pairs are all true pairs
+        assert expected_pairs <= exact_found
+        merged = result.merge(exact, on=["id_a", "id_b"], suffixes=("_m", "_e"))
+        assert np.allclose(merged["jaccard_m"], merged["jaccard_e"])
+
 
 class TestAnnTopk:
     def test_matches_brute_force(self, ray_session, tmp_path):
