@@ -77,12 +77,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle for every SQL-expressible query above. Omitted
-    (rows-only check): dedup_minhash, dedup_simhash,
-    embedding_near_dup_lsh, ann_ivf_topk (approximate/LSH ops),
-    langid (heuristic model), media_features (model scoring)."""
-    from jochre3_ocr_ray.ops import dedup, evaluation, relational, similarity
-    from jochre3_ocr_ray.ops import textstats, transcripts
+    """DuckDB oracle for EVERY query above — including the approximate
+    ops: LSH/IVF entries return driver-checkable accuracy rows whose
+    hard columns (true-pair counts, exact-top-1 echoes) the SQL
+    recomputes independently; minhash/simhash/cluster pair sets are
+    deterministic on this corpus and checked against exact SQL ground
+    truth (see ops/dedup.py docstring)."""
+    from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
+    from jochre3_ocr_ray.ops import similarity, textstats, transcripts
 
     return {
         "extract_turns": transcripts.Q_EXTRACT_TURNS_SQL,
@@ -106,9 +108,13 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_near_dup_lsh": dedup.Q_EMBEDDING_NEAR_DUP_LSH_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
+        "ann_ivf_topk": similarity.Q_ANN_IVF_TOPK_SQL,
         "token_count": textstats.Q_TOKEN_COUNT_SQL,
         "quality_score": textstats.Q_QUALITY_SCORE_SQL,
         "fingerprint": textstats.Q_FINGERPRINT_SQL,
+        "langid": textstats.Q_LANGID_SQL,
+        "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
+        "curate_documents_near_dup": _curate().Q_CURATE_DOCUMENTS_NEAR_DUP_SQL,
     }

@@ -15,6 +15,7 @@ Here: predicted vs expected text pairs joined on (conv_id, turn_idx)
 
 from __future__ import annotations
 
+import math
 from collections import Counter
 from math import sqrt
 
@@ -93,7 +94,11 @@ def evaluate_pairs(
             "key": ["__mean__"],
             "cer": [df["cer"].mean() if len(df) else 0.0],
             "bow_cosine": [df["bow_cosine"].mean() if len(df) else 1.0],
-            "char_count": [int(np.round(df["char_count"].mean())) if len(df) else 0],
+            # half-away-from-zero, matching DuckDB ROUND(AVG(...)) — NOT
+            # np.round's banker's rounding (off-by-one at exact .5 means)
+            "char_count": [
+                int(math.floor(df["char_count"].mean() + 0.5)) if len(df) else 0
+            ],
         }
     )
     combined = pd.concat([df, mean_row], ignore_index=True)

@@ -54,11 +54,16 @@ def decode_image(payload: bytes, fmt: str) -> "object":
 
 
 def fake_feature(payload: bytes) -> np.ndarray:
-    """Deterministic fake embedding: blake2b-seeded float vector in
-    [-1, 1). Stands in for a model forward pass."""
-    digest = hashlib.blake2b(payload, digest_size=FEATURE_DIM * 2).digest()
-    raw = np.frombuffer(digest, dtype=np.uint16).astype(np.float64)
-    return (raw / 32768.0) - 1.0
+    """Deterministic fake embedding: md5-chain float vector in [-1, 1).
+    Stands in for a model forward pass. md5 (not blake2b) so the
+    feature — and therefore ``q_media_features``'s norms — can be
+    recomputed independently by the DuckDB oracle: dim ``8k+j`` is the
+    j-th 4-hex-char chunk of ``md5(payload || ':' || k)``."""
+    vals: list[int] = []
+    for k in range(FEATURE_DIM // 8):
+        hexd = hashlib.md5(payload + b":" + str(k).encode()).hexdigest()
+        vals.extend(int(hexd[4 * j : 4 * j + 4], 16) for j in range(8))
+    return (np.array(vals, dtype=np.float64) / 32768.0) - 1.0
 
 
 class MediaFeatureExtractor:
@@ -122,7 +127,8 @@ def synthesize_media_dataset(sf_dir: str) -> "ray.data.Dataset":
 
 def q_media_features(sf_dir: str) -> pa.Table:
     """Feature extraction over the synthesized media table; returns
-    (media_id, n_bytes, feat_norm) — rows-only check (model scoring)."""
+    (media_id, n_bytes, feat_norm). Hash-checked: the fake feature is
+    an md5 chain the SQL oracle recomputes term by term."""
     media = synthesize_media_dataset(sf_dir)
     feats = media.map_batches(
         MediaFeatureExtractor,
@@ -133,21 +139,40 @@ def q_media_features(sf_dir: str) -> pa.Table:
     )
 
     def norms(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        from .relational import _round
 
         mat = np.stack(
             [np.asarray(f, dtype=np.float64) for f in batch["feature"].to_pylist()]
         )
-        return pa.table(
+        out = pa.table(
             {
                 "media_id": batch["media_id"],
                 "n_bytes": batch["n_bytes"],
-                "feat_norm": pc.round(
-                    pa.array(np.linalg.norm(mat, axis=1)),
-                    ndigits=4,
-                    round_mode="half_towards_infinity",
-                ),
+                "feat_norm": pa.array(np.linalg.norm(mat, axis=1)),
             }
         )
+        return _round(out, {"feat_norm": 4})
 
     return feats.map_batches(norms, batch_format="pyarrow")
+
+
+def _media_features_sql() -> str:
+    """Generated oracle: recompute every fake-feature dimension from
+    ``md5(text || ':' || k)`` hex chunks, then the L2 norm. The media
+    table is itself derived from ``documents`` (payload = utf-8 text
+    bytes), so the oracle runs on the same base table."""
+    terms = " + ".join(
+        f"power(('0x' || substr(md5(text || ':{k}'), {4 * j + 1}, 4))::BIGINT"
+        " / 32768.0 - 1.0, 2)"
+        for k in range(FEATURE_DIM // 8)
+        for j in range(8)
+    )
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ROUND(sqrt({terms}), 4) AS feat_norm
+FROM documents
+"""
+
+
+Q_MEDIA_FEATURES_SQL = _media_features_sql()

@@ -32,13 +32,16 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 
 def _query_matrix(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
+    """Query vectors via a PUSHED-DOWN row filter — only the matching
+    row groups leave storage, never the whole embeddings table."""
     import pyarrow.parquet as pq
 
     table = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", N_QUERIES)],
     )
-    df = table.to_pandas()
-    df = df[df["vec_id"] < N_QUERIES].sort_values("vec_id")
+    df = table.to_pandas().sort_values("vec_id")
     qids = df["vec_id"].to_numpy()
     qmat = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
     return qids, qmat
@@ -101,18 +104,21 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def q_ann_ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
-    """IVF-bucketed approximate top-k (rows-only check).
+def ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
+    """IVF-bucketed approximate top-k — the result table.
 
-    Centroids are a fixed seeded sample of the data; vectors go to
-    their nearest centroid's bucket; each query probes only the
-    ``nprobe`` nearest buckets."""
+    Centroids are a fixed seeded sample of the data (read with a
+    pushed-down ``vec_id < n_centroids`` filter — NOT a whole-table
+    driver read; at real scale swap in ``ds.random_sample`` + a
+    k-means refinement job); vectors go to their nearest centroid's
+    bucket; each query probes only the ``nprobe`` nearest buckets."""
     import pyarrow.parquet as pq
 
-    table = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    ).to_pandas()
-    sample = table.sort_values("vec_id").head(n_centroids)
+    sample = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "<", n_centroids)],
+    ).to_pandas().sort_values("vec_id")
     centroids = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
     qids, qmat = _query_matrix(sf_dir)
     probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
@@ -151,3 +157,43 @@ def q_ann_ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Ta
 
     result = local.groupby("query_id").map_groups(global_topk, batch_format="pandas")
     return _round(result, {"cos_sim": 4})
+
+
+IVF_RECALL_FLOOR = 0.5
+
+
+def q_ann_ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
+    """Driver-checked accuracy rows for the IVF path, one per query,
+    judged against the exact oracle-green twin (``q_ann_cosine_topk``):
+
+    * ``top1_vec_id`` — the IVF rank-1 neighbour. Each query vector is
+      in the corpus and always lands in a probed bucket (it probes its
+      own assignment centroid first), so rank 1 must be the query
+      itself — an invariant the SQL echoes exactly;
+    * ``recall_ok`` — |IVF top-k ∩ exact top-k| / k >= IVF_RECALL_FLOOR
+      at the given nprobe/n_centroids (a knobs-sensitive bound; the
+      pytest suite sweeps it).
+
+    The full ranked table remains available via ``ivf_topk``."""
+    exact = q_ann_cosine_topk(sf_dir).to_pandas()
+    approx = ivf_topk(sf_dir, n_centroids=n_centroids, nprobe=nprobe).to_pandas()
+    rows = []
+    for qid, a_group in approx.sort_values("query_id").groupby("query_id"):
+        e_set = set(exact.loc[exact["query_id"] == qid, "vec_id"])
+        a_set = set(a_group["vec_id"])
+        recall = len(e_set & a_set) / max(len(e_set), 1)
+        top1 = int(a_group.loc[a_group["rank"] == 1, "vec_id"].iloc[0])
+        rows.append((int(qid), top1, recall >= IVF_RECALL_FLOOR))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "top1_vec_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "recall_ok": pa.array([r[2] for r in rows], type=pa.bool_()),
+        }
+    )
+
+
+Q_ANN_IVF_TOPK_SQL = f"""
+SELECT vec_id AS query_id, vec_id AS top1_vec_id, true AS recall_ok
+FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
+"""

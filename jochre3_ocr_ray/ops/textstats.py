@@ -125,9 +125,9 @@ FROM documents
 
 
 # -------------------------------------------------------------- lang id
-# n-gram/stopword heuristic language ID. Not SQL-expressible -> the
-# driver records a rows-only check; pytest pins the heuristic on
-# fixed inputs.
+# stopword-marker heuristic language ID. Deterministic, so it gets a
+# full SQL oracle: the marker tables become a VALUES join and the
+# argmax-with-alphabetical-tiebreak is a window function.
 _LANG_MARKERS: dict[str, set[str]] = {
     "en": {"the", "and", "of", "to", "is", "in", "that", "with", "for", "it"},
     "fr": {"le", "la", "les", "des", "une", "est", "dans", "pour", "que", "avec"},
@@ -175,3 +175,51 @@ def q_langid(sf_dir: str) -> pa.Table:
     return ds.map_batches(
         LangId, batch_format="pyarrow", batch_size=4096, concurrency=(1, 4)
     )
+
+
+def _langid_sql() -> str:
+    """SQL replica of ``LangId.predict_one``: han/rtl script overrides,
+    else the lang with the most marker-token hits (>=1), alphabetical
+    tiebreak, else 'unknown'. Markers generated from ``_LANG_MARKERS``
+    so both sides share one table."""
+    marker_values = ",\n    ".join(
+        f"('{lang}', '{m}')"
+        for lang in sorted(_LANG_MARKERS)
+        for m in sorted(_LANG_MARKERS[lang])
+    )
+    return f"""
+WITH flags AS (
+  SELECT doc_id, lower(text) AS lt,
+         regexp_matches(text, '[一-鿿]') AS has_han,
+         regexp_matches(text, '[֐-ۿ]') AS has_rtl
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lt, '[a-zà-ÿäöüß]+')) AS tok
+  FROM flags WHERE NOT has_han AND NOT has_rtl
+),
+markers(lang, marker) AS (
+  VALUES
+    {marker_values}
+),
+hits AS (
+  SELECT t.doc_id, m.lang, COUNT(*) AS n_hits
+  FROM toks t JOIN markers m ON t.tok = m.marker
+  GROUP BY t.doc_id, m.lang
+),
+best AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY n_hits DESC, lang ASC) AS rn
+  FROM hits
+)
+SELECT f.doc_id,
+       CASE WHEN f.has_han THEN 'zh'
+            WHEN f.has_rtl THEN 'rtl'
+            ELSE COALESCE(b.lang, 'unknown') END AS predicted_lang
+FROM flags f
+LEFT JOIN best b ON b.doc_id = f.doc_id AND b.rn = 1
+"""
+
+
+Q_LANGID_SQL = _langid_sql()

@@ -105,15 +105,96 @@ FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
 
 
 def q_curate_documents_near_dup(sf_dir: str) -> pa.Table:
-    """Curation + MinHash near-dup pruning: drop kept docs that are
-    non-canonical members of a near-dup cluster (rows-only check)."""
+    """Curation + near-dup cluster pruning, keep-one per cluster.
+
+    The canonical keeper is recomputed per cluster among the members
+    that SURVIVED the quality filter + exact dedup (not the
+    corpus-wide min id): if a cluster's global canonical doc was
+    quality-filtered away, the smallest surviving member is kept
+    instead — a keep-one dedup must never silently drop a whole
+    cluster's content.
+
+    Shape: the cluster table is tiny (only near-dup members), so it is
+    broadcast; the curated corpus streams through one tagging pass;
+    only the CLUSTERED survivors (tiny) come to the driver to pick
+    keepers; the final filter streams again with the keeper set
+    broadcast. The corpus itself never materializes."""
+    import ray
+
     from ..ops.dedup import q_dedup_clusters
 
-    kept = _to_table(curated_dataset(sf_dir)).to_pandas()
     clusters = q_dedup_clusters(sf_dir).to_pandas()
-    drop = set(clusters.loc[~clusters["keep"], "doc_id"])
-    kept = kept[~kept["doc_id"].isin(drop)]
-    out = pa.Table.from_pandas(
-        kept[["doc_id", "n_tokens", "alpha_ratio"]], preserve_index=False
+    cluster_map = dict(
+        zip(clusters["doc_id"].astype(int), clusters["cluster_id"].astype(int))
     )
+    map_ref = ray.put(cluster_map)
+
+    kept = curated_dataset(sf_dir)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        batch = batch.copy()
+        batch["cluster_id"] = [m.get(int(d), -1) for d in batch["doc_id"]]
+        return batch
+
+    tagged = kept.map_batches(tag, batch_format="pandas")
+    clustered = _to_table(
+        tagged.map_batches(
+            lambda b: b[b["cluster_id"] >= 0], batch_format="pandas"
+        )
+    ).to_pandas()
+    if len(clustered):
+        keepers = set(
+            clustered.groupby("cluster_id")["doc_id"].min().astype(int)
+        )
+    else:
+        keepers = set()
+    keep_ref = ray.put(keepers)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        mask = (batch["cluster_id"] < 0) | batch["doc_id"].isin(ks)
+        return batch.loc[mask, ["doc_id", "n_tokens", "alpha_ratio"]]
+
+    out = _to_table(tagged.map_batches(prune, batch_format="pandas"))
     return _round(out, {"alpha_ratio": 4})
+
+
+def _curate_near_dup_sql() -> str:
+    from ..ops.dedup import JACCARD_THRESHOLD, _clusters_ctes
+
+    return f"""
+WITH RECURSIVE {_clusters_ctes(JACCARD_THRESHOLD)},
+stats AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+         END AS n_tokens,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+           / GREATEST(LENGTH(text), 1.0) AS alpha_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM stats
+  WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+),
+exact_keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text
+),
+curated AS (
+  SELECT f.doc_id, f.n_tokens, f.alpha_ratio
+  FROM filtered f JOIN exact_keepers k ON f.doc_id = k.doc_id
+),
+tagged AS (
+  SELECT c.*, COALESCE(cl.cluster_id, c.doc_id) AS cid
+  FROM curated c LEFT JOIN clusters cl ON cl.doc_id = c.doc_id
+)
+SELECT doc_id, n_tokens, ROUND(alpha_ratio, 4) AS alpha_ratio
+FROM (
+  SELECT t.*, MIN(doc_id) OVER (PARTITION BY cid) AS keeper FROM tagged t
+)
+WHERE doc_id = keeper
+"""
+
+
+Q_CURATE_DOCUMENTS_NEAR_DUP_SQL = _curate_near_dup_sql()

@@ -30,7 +30,11 @@ class TestIvfRecall:
     def test_recall_on_clustered_data(self, ray_session, tmp_path):
         """Clustered vectors (IVF's favourable case): probing 4/16
         centroid buckets must recover most of the exact top-10."""
-        from jochre3_ocr_ray.ops.similarity import q_ann_cosine_topk, q_ann_ivf_topk
+        from jochre3_ocr_ray.ops.similarity import (
+            ivf_topk,
+            q_ann_cosine_topk,
+            q_ann_ivf_topk,
+        )
 
         rng = np.random.RandomState(11)
         centers = rng.standard_normal((8, 64)) * 5
@@ -39,13 +43,19 @@ class TestIvfRecall:
         ])
         sf = _write_embeddings(tmp_path, mat)
         exact = q_ann_cosine_topk(sf).to_pandas()
-        approx = q_ann_ivf_topk(sf).to_pandas()
+        approx = ivf_topk(sf).to_pandas()
         recalls = []
         for qid in range(5):
             e = set(exact[exact.query_id == qid]["vec_id"])
             a = set(approx[approx.query_id == qid]["vec_id"])
             recalls.append(len(e & a) / len(e))
         assert np.mean(recalls) >= 0.6, recalls
+
+        # the driver-checked accuracy rows: self is always rank 1, and
+        # per-query recall clears the floor on this favourable data
+        summary = q_ann_ivf_topk(sf).to_pandas()
+        assert (summary["top1_vec_id"] == summary["query_id"]).all()
+        assert summary["recall_ok"].all()
 
 
 class TestEmbeddingLshNearDup:
