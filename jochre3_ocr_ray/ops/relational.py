@@ -58,16 +58,14 @@ def partitioned_apply(
     shuffle; ~num_parts Python invocations total. Hot single keys can
     still skew a partition — salt the key upstream if so."""
     import pandas as pd
-    import zlib
+
+    from ..functions.hashing import hash_partition
 
     def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        joined = batch[keys[0]].astype(str)
-        for k in keys[1:]:
-            joined = joined + "\x00" + batch[k].astype(str)
         batch = batch.copy()
-        batch["_part"] = [
-            zlib.crc32(v.encode("utf-8")) % num_parts for v in joined
-        ]
+        batch["_part"] = hash_partition(
+            [batch[k].to_numpy() for k in keys], num_parts
+        )
         return batch
 
     def run_part(group: pd.DataFrame) -> pd.DataFrame:
@@ -456,22 +454,49 @@ FROM gaps GROUP BY user_id
 
 
 # ------------------------------------------------------- native hash join
+JOIN_TARGET_PARTITION_BYTES = 256 << 20
+
+
+def join_partitions(total_input_bytes: int) -> int:
+    """Hash-join partition count from input volume and cluster size:
+    ``ceil(bytes / 256MB)`` clamped to ``[max(2, cpus/8), 2*cpus]``.
+
+    Measured here (13.5MB input, 32 visible CPUs): 4 partitions 5.9s,
+    8 -> 6.4s, 16 -> 9.8s, 32 -> 37s — each partition spawns an
+    aggregator ACTOR, so over-partitioning a small join multiplies
+    startup cost; under-partitioning a huge one overflows per-actor
+    memory. The bytes term grows the count at cluster scale (100 TB /
+    256MB caps out at 2x cluster CPUs)."""
+    import math
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001 — Ray not initialised (unit tests)
+        cpus = 8
+    lo = max(2, cpus // 8)
+    hi = max(lo, 2 * cpus)
+    want = math.ceil(total_input_bytes / JOIN_TARGET_PARTITION_BYTES)
+    return max(lo, min(hi, want))
+
+
 def q_order_lineitem_join(sf_dir: str) -> pa.Table:
     """Large-side ⋈ large-side via Ray's native hash-partitioned
     ``Dataset.join`` (both sides shuffle on the key — the pattern for
     when NEITHER side is broadcastable), then a combiner rollup:
     revenue by order priority."""
+    import os
+
     lineitem = _read(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
     )
     orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_orderpriority"])
-    # num_partitions sized to data volume (one aggregator actor per
-    # partition — more partitions than busy cores just multiplies actor
-    # startup on a single node; at cluster scale this rises with nodes)
+    total_bytes = os.path.getsize(f"{sf_dir}/lineitem.parquet") + os.path.getsize(
+        f"{sf_dir}/orders.parquet"
+    )
     joined = lineitem.join(
         orders,
         join_type="inner",
-        num_partitions=8,
+        num_partitions=join_partitions(total_bytes),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

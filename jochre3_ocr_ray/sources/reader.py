@@ -69,7 +69,18 @@ def read_transcripts_jsonl(
         )
         ts = batch["ts"]
         if pa.types.is_string(ts.type):
-            ts = pc.strptime(ts, format="%Y-%m-%dT%H:%M:%S", unit="us")
+            # Arrow's ISO-8601 cast: accepts fractional seconds and
+            # date-only strings directly. A trailing 'Z' or a numeric
+            # offset makes the cast demand a tz-aware target, so fall
+            # back to parsing as UTC and dropping to naive wall time
+            # (all sources are normalized to UTC by contract).
+            stripped = pc.replace_substring_regex(ts, r"Z$", "")
+            try:
+                ts = pc.cast(stripped, pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = pc.local_timestamp(
+                    pc.cast(stripped, pa.timestamp("us", tz="UTC"))
+                )
         return pa.table(
             {
                 "conv_id": pc.cast(batch["conv_id"], pa.string()),

@@ -47,7 +47,8 @@ def _with_salt_and_logconf(extracted: "ray.data.Dataset", chunk: int):
     def prep(batch):
         import pyarrow as pa
         import pyarrow.compute as pc
-        import zlib
+
+        from ..functions.hashing import hash_partition
 
         salt = pc.cast(pc.divide(batch["turn_idx"], chunk), pa.int32())
         # carry confidence in log space weighted by word count so the
@@ -57,13 +58,9 @@ def _with_salt_and_logconf(extracted: "ray.data.Dataset", chunk: int):
             pc.ln(pc.max_element_wise(batch["confidence"], 1e-300)),
         )
         part = pa.array(
-            [
-                zlib.crc32(f"{c}\x00{s}".encode()) % NUM_PARTS
-                for c, s in zip(
-                    batch["conv_id"].to_pylist(), salt.to_pylist()
-                )
-            ],
-            type=pa.int32(),
+            hash_partition(
+                [batch["conv_id"].to_pylist(), salt.to_numpy()], NUM_PARTS
+            )
         )
         batch = batch.append_column("salt", salt)
         batch = batch.append_column("_log_conf", log_conf)
@@ -163,19 +160,25 @@ def assemble_buckets(
         )
         return len(out)
 
-    refs = []
+    # bounded submission: throttle on PENDING refs only (finished refs
+    # accumulate in done) — ray.wait on a list containing finished refs
+    # returns immediately and would make the throttle a no-op at the
+    # tens-of-thousands-of-buckets scale this targets
+    done: list = []
+    pending: list = []
     for bucket_id, files in sorted(buckets.items()):
-        refs.append(one_bucket.remote(bucket_id, files, out_dir))
-        if len(refs) >= max_in_flight:
-            ray.wait(refs, num_returns=1)
-    return sum(ray.get(refs))
+        pending.append(one_bucket.remote(bucket_id, files, out_dir))
+        if len(pending) >= max_in_flight:
+            ready, pending = ray.wait(pending, num_returns=1)
+            done.extend(ready)
+    return sum(ray.get(done + pending))
 
 
 def assemble_conversations(
     extracted: "ray.data.Dataset", chunk: int = DEFAULT_CHUNK
 ) -> "ray.data.Dataset":
     """Per-turn extraction output -> one row per conversation."""
-    import zlib
+    from ..functions.hashing import crc_bucket
 
     prepped = _with_salt_and_logconf(extracted, chunk)
     partials = prepped.groupby("_part").map_groups(
@@ -184,9 +187,7 @@ def assemble_conversations(
 
     def repart(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["_part"] = [
-            zlib.crc32(c.encode()) % NUM_PARTS for c in batch["conv_id"]
-        ]
+        batch["_part"] = crc_bucket(batch["conv_id"].to_numpy(), NUM_PARTS)
         return batch
 
     partials2 = partials.map_batches(repart, batch_format="pandas")
@@ -204,7 +205,7 @@ def assemble_conversations_sorted(
     segments are contiguous; segments carry their ``min turn_idx`` and
     the final small grouped phase concatenates segments in min-turn
     order. Output identical to ``assemble_conversations``."""
-    import zlib
+    from ..functions.hashing import crc_bucket
 
     projected = extracted.select_columns(_PROJECT_COLS)
     ordered = projected.sort(["conv_id", "turn_idx"])
@@ -223,9 +224,7 @@ def assemble_conversations_sorted(
             processed_part=("processed_text", "\n\n".join),
             log_conf=("_log_conf", "sum"),
         ).reset_index()
-        out["_part"] = [
-            zlib.crc32(c.encode()) % NUM_PARTS for c in out["conv_id"]
-        ]
+        out["_part"] = crc_bucket(out["conv_id"].to_numpy(), NUM_PARTS)
         out["n_words"] = out["n_words"].astype("int64")
         return out
 

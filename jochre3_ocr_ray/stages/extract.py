@@ -19,10 +19,10 @@ because this particular stage's state is a wordlist, not a model.
 
 from __future__ import annotations
 
-import zlib
-
 import numpy as np
 import pyarrow as pa
+
+from ..functions.hashing import crc_bucket
 
 # Number of conv-hash output buckets. Sizing rule at scale: buckets ≈
 # corpus_size / target_partition_size (a few GB per bucket) and at
@@ -76,13 +76,12 @@ def _apply(
     )
     # conv-hash bucket: the conversation-assembly "shuffle" is folded
     # into the extraction WRITE (write_parquet partition_cols=["bucket"])
-    # so assembly reads co-located buckets with no Ray sort at all
+    # so assembly reads co-located buckets with no Ray sort at all.
+    # crc_bucket = crc32(conv_id) % B with one hash per DISTINCT conv
+    # (bit-identical to the historic per-row loop — persisted layouts
+    # stay valid)
     columns["bucket"] = pa.array(
-        np.array(
-            [zlib.crc32(c.encode()) % ASSEMBLY_BUCKETS
-             for c in batch.column("conv_id").to_pylist()],
-            dtype=np.int32,
-        )
+        crc_bucket(batch.column("conv_id").to_pylist(), ASSEMBLY_BUCKETS)
     )
     return pa.table(columns)
 

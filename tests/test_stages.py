@@ -128,3 +128,28 @@ class TestJsonlSource:
             "Jimi Hendrix Experience", "plain reply",
         ]
         assert str(out.dtypes["ts"]).startswith("datetime64")
+
+    def test_jsonl_ts_iso_variants(self, ray_session, tmp_path):
+        """Fractional seconds, trailing Z, and numeric offsets must all
+        parse (ADVICE r1: strptime was pinned to one exact shape)."""
+        import json as _json
+
+        from jochre3_ocr_ray.sources.reader import read_transcripts_jsonl
+
+        stamps = [
+            ("2026-01-01T00:00:00", "2026-01-01 00:00:00"),
+            ("2026-01-01T00:00:00.250", "2026-01-01 00:00:00.250000"),
+            ("2026-01-01T00:00:00Z", "2026-01-01 00:00:00"),
+            ("2026-01-01T02:00:00+02:00", "2026-01-01 00:00:00"),
+        ]
+        rows = [
+            {"conv_id": "c1", "turn_idx": i, "role": "user",
+             "text": "x", "ts": raw}
+            for i, (raw, _) in enumerate(stamps)
+        ]
+        (tmp_path / "t.jsonl").write_text(
+            "\n".join(_json.dumps(r) for r in rows)
+        )
+        out = read_transcripts_jsonl(tmp_path).to_pandas().sort_values("turn_idx")
+        got = [str(t) for t in out["ts"]]
+        assert got == [want for _, want in stamps], got
