@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         # flagship extraction pipeline (SURVEY §2.2/§2.3/§3)
         "extract_turns": transcripts.q_extract_turns,
+        "glyph_stats": transcripts.q_glyph_stats,
         "assemble_conversations": transcripts.q_assemble_conversations,
         # relational coverage (SURVEY §2.4-2.6 analogs)
         "q1_pricing_summary": relational.q1_pricing_summary,
@@ -88,6 +89,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "extract_turns": transcripts.Q_EXTRACT_TURNS_SQL,
+        "glyph_stats": transcripts.Q_GLYPH_STATS_SQL,
         "assemble_conversations": transcripts.Q_ASSEMBLE_CONVERSATIONS_SQL,
         "q1_pricing_summary": relational.Q1_SQL,
         "top_customers": relational.Q_TOP_CUSTOMERS_SQL,

@@ -36,8 +36,8 @@ import re
 from dataclasses import dataclass, field
 
 from .lexicon import FREQ_KNOWN, Lexicon
-from .normalize import simplify
-from .rules import is_rtl_line, reverse_digit_runs, split_punctuation
+from .normalize import deskew, simplify
+from .rules import is_rtl_line, reverse_digit_runs, split_punctuation, string_to_chars
 from .segmenter import segment
 
 HYP_PART1 = "HypPart1"
@@ -57,6 +57,8 @@ class _Word:
     subs_content: str = ""
     start: int = 0
     end: int = 0
+    kind: str = "word"
+    guessed: float | None = None  # beam-guesser rescored score, if guessed
 
 
 @dataclass
@@ -78,6 +80,28 @@ def _tokenize_line(line_text: str) -> list[_Word]:
                 piece = reverse_digit_runs(piece)
             words.append(_Word(text=piece, sep=(k == 0 and bool(words))))
     return words
+
+
+def combine_unspaced_words(words: list[_Word]) -> list[_Word]:
+    """Merge adjacent words not separated by a space — the
+    ``TextLine.combinedWords`` analog (reference
+    ``core/model/TextLine.scala:38-57``): a left fold where each
+    unspaced follower is merged into the accumulated word via
+    ``Word.combineWith`` semantics (``core/model/Word.scala:51-57``):
+    contents concatenate, spans union, and confidence becomes
+    ``sqrt(c1 * c2)`` pairwise (so a 3-way merge is
+    ``sqrt(sqrt(c1*c2)*c3)``, matching the reference's fold order).
+    subs/alternative fields keep the LEFT word's values (``this.copy``
+    in the reference)."""
+    out: list[_Word] = []
+    for w in words:
+        if out and not w.sep:
+            left = out[-1]
+            left.text = left.text + w.text
+            left.confidence = math.sqrt(left.confidence * w.confidence)
+        else:
+            out.append(w)
+    return out
 
 
 def default_dehyphenation(w1: str, w2: str, lex: Lexicon) -> str:
@@ -112,6 +136,32 @@ def _resolve_hyphenation(
         first.subs_type, first.subs_content = HYP_PART2, subs
 
 
+def _guess_words(lines: list[_Line], lex: Lexicon, glyph_candidates_fn) -> None:
+    """Beam-guesser content assignment — the FullSegmentationGuesser
+    serving path (``core/text/FullSegmentationGuesser.scala:375-396``):
+    per-word beam over per-glyph candidate lists, geometric-mean
+    scored, lexicon-rescored; the winning guess REPLACES the word's
+    content and carries its rescored score. ``glyph_candidates_fn(text)
+    -> [[(char, conf), ...] per glyph]`` is the classifier hook; with
+    the identity classifier (every glyph certain) the winner is the
+    original text and the rescored score equals the direct lexicon
+    confidence — pinned by tests, so the default fast path skips the
+    beam without changing results."""
+    from .guesser import best_guess
+
+    for line in lines:
+        for w in line.words:
+            if _PUNCT_ONLY.fullmatch(w.text):
+                continue
+            candidates = glyph_candidates_fn(w.text)
+            if not candidates:
+                continue
+            text, score = best_guess(candidates, lex)
+            if text:
+                w.text = text
+                w.guessed = score
+
+
 def _score_words(lines: list[_Line], lex: Lexicon) -> None:
     for line in lines:
         for w in line.words:
@@ -120,6 +170,10 @@ def _score_words(lines: list[_Line], lex: Lexicon) -> None:
             elif w.subs_type:
                 # hyphen pair scored jointly on the merged form
                 w.confidence = lex.confidence(w.subs_content)
+            elif w.guessed is not None:
+                # beam-rescored score (identity-classifier case equals
+                # lex.confidence(text) exactly — see _guess_words)
+                w.confidence = w.guessed
             else:
                 w.confidence = lex.confidence(w.text)
 
@@ -176,6 +230,103 @@ def _render_block_processed(lines: list[_Line]) -> str:
     return "".join(out)
 
 
+def _glyph_entries(text: str, start: int, confidence: float) -> list[dict]:
+    """Glyph tiling within a word span — the text-exact analog of
+    ``FullYoloSegmenter.scala:148-182`` (inter-glyph borders are
+    character-cluster boundaries; combining marks stay attached via
+    ``string_to_chars``). Glyph confidence inherits the word's score
+    (the per-glyph classifier confidence analog)."""
+    out = []
+    pos = start
+    for cluster in string_to_chars(text):
+        nxt = pos + len(cluster)
+        out.append(
+            {
+                "text": cluster,
+                "span": {"start": pos, "end": nxt},
+                "confidence": confidence,
+            }
+        )
+        pos = nxt
+    return out
+
+
+_HYPHEN_SPLIT = re.compile(r"^(.+)([-־])$")
+
+
+def _word_entries(
+    w: _Word,
+    *,
+    include_glyphs: bool,
+    emit_hyphen_element: bool,
+    alternatives_fn,
+) -> list[dict]:
+    """One word -> its output entry, or (word, hyphen) pair when the
+    hyphen-element option is on and the word carries a trailing hyphen
+    (``YiddishAltoTransformer.addHyphenRule``: content loses the
+    hyphen, a distinct Hyphen element takes it with a prorated span;
+    the hyphen GLYPH is scored 0.5 as in ``Word.combineWith(hyphen)``,
+    ``Word.scala:59-63``)."""
+    m = _HYPHEN_SPLIT.match(w.text) if emit_hyphen_element else None
+    if m is not None:
+        body, hyph = m.group(1), m.group(2)
+        word_entry = {
+            "text": body,
+            "kind": "word",
+            "span": {"start": w.start, "end": w.end - 1},
+            "confidence": w.confidence,
+            "subs_type": w.subs_type,
+            "subs_content": w.subs_content,
+            "alternatives": (
+                alternatives_fn(body) if alternatives_fn is not None else []
+            ),
+            "glyphs": (
+                _glyph_entries(body, w.start, w.confidence)
+                if include_glyphs
+                else []
+            ),
+        }
+        hyphen_entry = {
+            "text": hyph,
+            "kind": "hyphen",
+            "span": {"start": w.end - 1, "end": w.end},
+            "confidence": w.confidence,
+            "subs_type": "",
+            "subs_content": "",
+            "alternatives": [],
+            "glyphs": (
+                [
+                    {
+                        "text": hyph,
+                        "span": {"start": w.end - 1, "end": w.end},
+                        "confidence": 0.5,
+                    }
+                ]
+                if include_glyphs
+                else []
+            ),
+        }
+        return [word_entry, hyphen_entry]
+    return [
+        {
+            "text": w.text,
+            "kind": w.kind,
+            "span": {"start": w.start, "end": w.end},
+            "confidence": w.confidence,
+            "subs_type": w.subs_type,
+            "subs_content": w.subs_content,
+            "alternatives": (
+                alternatives_fn(w.text) if alternatives_fn is not None else []
+            ),
+            "glyphs": (
+                _glyph_entries(w.text, w.start, w.confidence)
+                if include_glyphs
+                else []
+            ),
+        }
+    ]
+
+
 def dominant_language(lines: list["_Line"]) -> str:
     """Majority-vote script over words — the per-line/block/page
     language majority-vote fixup analog
@@ -220,6 +371,10 @@ def extract_turn(
     simplifier=None,
     segmenter=None,
     dehyphenator=None,
+    glyph_candidates_fn=None,
+    include_glyphs: bool = True,
+    combine_unspaced: bool = False,
+    emit_hyphen_element: bool = False,
 ) -> dict:
     """Run the full extraction chain on one turn payload.
 
@@ -234,8 +389,21 @@ def extract_turn(
     * ``segmenter(text) -> list[SegmentedBlock]`` — segmentation
       override (``Segmenter.scala:9-26``); default DOM-heuristic
       ``segmenter.segment``.
+    * ``glyph_candidates_fn(word_text) -> [[(char, conf), ...]]`` —
+      per-glyph classifier hook routing content through the beam
+      guesser (``FullSegmentationGuesser.scala:375-396``); None (the
+      default) is the identity classifier, whose beam outcome equals
+      the direct lexicon scoring exactly (tests pin it), so the fast
+      path skips the beam.
+    * ``include_glyphs`` — emit the 5th granularity (``Glyph.scala:9``)
+      under each word; ``combine_unspaced`` — merge unspaced adjacent
+      words (``TextLine.combinedWords``); ``emit_hyphen_element`` —
+      a trailing hyphen becomes its own ``kind="hyphen"`` element with
+      a prorated span (``YiddishAltoTransformer.scala:250-352``).
     """
-    normalized = (simplifier or simplify)(text or "")
+    # skew estimate + correction BEFORE segmentation (Deskewer order:
+    # Jochre.scala preprocessing), recorded as the per-turn ``skew``
+    normalized, skew = deskew((simplifier or simplify)(text or ""))
     seg_blocks = (segmenter or segment)(normalized)
 
     blocks_out = []
@@ -249,9 +417,14 @@ def extract_turn(
 
     for bi, sblock in enumerate(seg_blocks):
         lines = [_Line(words=_tokenize_line(lt)) for lt in sblock.lines]
+        if combine_unspaced:
+            for l in lines:
+                l.words = combine_unspaced_words(l.words)
         lines = [l for l in lines if l.words]
         if not lines:
             continue
+        if glyph_candidates_fn is not None:
+            _guess_words(lines, lex, glyph_candidates_fn)
         _resolve_hyphenation(lines, lex, dehyphenator)
         _score_words(lines, lex)
         all_lines.extend(lines)
@@ -272,19 +445,14 @@ def extract_turn(
                     {
                         "span": {"start": l.start, "end": l.end},
                         "words": [
-                            {
-                                "text": w.text,
-                                "span": {"start": w.start, "end": w.end},
-                                "confidence": w.confidence,
-                                "subs_type": w.subs_type,
-                                "subs_content": w.subs_content,
-                                "alternatives": (
-                                    alternatives_fn(w.text)
-                                    if alternatives_fn is not None
-                                    else []
-                                ),
-                            }
+                            entry
                             for w in l.words
+                            for entry in _word_entries(
+                                w,
+                                include_glyphs=include_glyphs,
+                                emit_hyphen_element=emit_hyphen_element,
+                                alternatives_fn=alternatives_fn,
+                            )
                         ],
                     }
                     for l in lines
@@ -304,6 +472,7 @@ def extract_turn(
         "blocks": blocks_out,
         "confidence": confidence,
         "lang": dominant_language(all_lines),
+        "skew": skew,
         "n_blocks": len(blocks_out),
         "n_lines": n_lines,
         "n_words": n_words,

@@ -78,6 +78,96 @@ class Rectangle:
     def vertical_overlap(self, other: "Rectangle") -> int:
         return max(0, min(self.bottom, other.bottom) - max(self.top, other.top))
 
+    # -- geometric node ops (reference Rectangle.scala:161-176 and the
+    # tree-wide PageElement.translate/rotate/rescale, package.scala:35-45)
+    def translate(self, x_diff: int, y_diff: int) -> "Rectangle":
+        return Rectangle(self.left + x_diff, self.top + y_diff, self.width, self.height)
+
+    def rescale(self, scale: float) -> "Rectangle":
+        return Rectangle(
+            int(self.left * scale),
+            int(self.top * scale),
+            int(self.width * scale),
+            int(self.height * scale),
+        )
+
+    def rotate_180(self, image_width: int, image_height: int) -> "Rectangle":
+        """Rotate within an image frame (the ``rotate(imageInfo)``
+        analog, Rectangle.scala:172-176: corners map through the image
+        rotation, then re-normalize). 180° is the only rotation that
+        keeps axis-aligned rectangles axis-aligned without the OpenCV
+        rotation matrix, and is the case the reference exercises for
+        upside-down scans."""
+        x1, y1 = image_width - self.right, image_height - self.bottom
+        return Rectangle(x1, y1, self.width, self.height)
+
+    def tile(
+        self,
+        horizontal_tiles: int,
+        vertical_tiles: int,
+        margin_percentage: float = 0.25,
+    ) -> list["Rectangle"]:
+        """Overlapping tile grid clipped to this rectangle — the glyph/
+        region tiling helper (reference Rectangle.scala:184-202): each
+        tile is width/h × height/v expanded by ``margin_percentage`` of
+        a segment on every side, intersected back with the parent."""
+        height_seg = self.height // vertical_tiles
+        v_margin = int(height_seg * margin_percentage)
+        width_seg = self.width // horizontal_tiles
+        h_margin = int(width_seg * margin_percentage)
+        out = []
+        for i in range(horizontal_tiles):
+            for j in range(vertical_tiles):
+                tile = Rectangle(
+                    self.left + i * width_seg - h_margin,
+                    self.top + j * height_seg - v_margin,
+                    width_seg + 2 * h_margin,
+                    height_seg + 2 * v_margin,
+                )
+                inter = tile.intersection(self)
+                if inter is not None:
+                    out.append(inter)
+        return out
+
+
+def translate_blocks(blocks: list[dict], offset: int) -> list[dict]:
+    """Shift every span in a block/line/word/glyph tree by ``offset``
+    chars — the 1-D analog of the tree-wide ``PageElement.translate``
+    (reference ``core/model/package.scala:35-45``), used when
+    concatenating per-turn trees into a conversation-level document
+    (pages folded into ``Alto.content``, Alto.scala:12-13)."""
+
+    def shift(span: dict) -> dict:
+        return {"start": span["start"] + offset, "end": span["end"] + offset}
+
+    out = []
+    for block in blocks:
+        out.append(
+            {
+                **block,
+                "span": shift(block["span"]),
+                "lines": [
+                    {
+                        **line,
+                        "span": shift(line["span"]),
+                        "words": [
+                            {
+                                **w,
+                                "span": shift(w["span"]),
+                                "glyphs": [
+                                    {**g, "span": shift(g["span"])}
+                                    for g in w.get("glyphs") or []
+                                ],
+                            }
+                            for w in line["words"]
+                        ],
+                    }
+                    for line in block["lines"]
+                ],
+            }
+        )
+    return out
+
 
 def _reading_order_cmp(a: Rectangle, b: Rectangle, rtl: bool) -> int:
     h_overlap = a.horizontal_overlap(b)

@@ -54,6 +54,41 @@ def simplify(text: str) -> str:
 
 
 _WS_RUN = re.compile("[ \t\f\v]+")
+_LEADING_WS = re.compile("^[ \t]*")
+
+
+def estimate_indent_skew(text: str) -> float:
+    """Systematic layout-noise estimate — the ``Deskewer`` analog
+    (reference ``core/transform/Deskewer.scala:183-216``): per-line
+    skew samples (leading-indent width in chars, standing in for the
+    per-contour rotation angle), take the MEDIAN sample, keep inliers
+    within ±1 of it, return the inlier MEAN. 0.0 for empty input."""
+    samples = sorted(
+        len(_LEADING_WS.match(line).group(0))
+        for line in text.split("\n")
+        if line.strip()
+    )
+    if not samples:
+        return 0.0
+    median = samples[len(samples) // 2]
+    inliers = [s for s in samples if median - 1.0 <= s <= median + 1.0]
+    return sum(inliers) / len(inliers)
+
+
+def deskew(text: str) -> tuple[str, float]:
+    """Estimate the systematic indent and subtract it from every line
+    (clamped to each line's own indent) — correction applied BEFORE
+    segmentation, estimate recorded per turn (the deskewed-image +
+    logged-angle behavior of ``Deskewer.deskew``)."""
+    skew = estimate_indent_skew(text)
+    shift = int(skew)
+    if shift <= 0:
+        return text, skew
+    corrected = "\n".join(
+        line[min(shift, len(_LEADING_WS.match(line).group(0))) :]
+        for line in text.split("\n")
+    )
+    return corrected, skew
 
 
 def collapse_inline_whitespace(line: str) -> str:

@@ -39,6 +39,14 @@ def render_alto(turn_id: str, blocks: list[dict], confidence: float) -> str:
             )
             for w in line["words"]:
                 wc = "%.4f" % w["confidence"]
+                if w.get("kind") == "hyphen":
+                    # distinct Hyphen element (Hyphen.scala / ALTO HYP)
+                    parts.append(
+                        f"<HYP CONTENT={quoteattr(w['text'])} "
+                        f"HPOS={quoteattr(str(w['span']['start']))} "
+                        f"WIDTH={quoteattr(str(w['span']['end'] - w['span']['start']))}/>"
+                    )
+                    continue
                 attrs = [
                     f"CONTENT={quoteattr(w['text'])}",
                     f"HPOS={quoteattr(str(w['span']['start']))}",
@@ -48,7 +56,18 @@ def render_alto(turn_id: str, blocks: list[dict], confidence: float) -> str:
                 if w.get("subs_type"):
                     attrs.append(f"SUBS_TYPE={quoteattr(w['subs_type'])}")
                     attrs.append(f"SUBS_CONTENT={quoteattr(w['subs_content'])}")
-                parts.append(f"<String {' '.join(attrs)}/>")
+                glyphs = w.get("glyphs") or []
+                if glyphs:
+                    inner = "".join(
+                        f"<Glyph CONTENT={quoteattr(g['text'])} "
+                        f"HPOS={quoteattr(str(g['span']['start']))} "
+                        f"WIDTH={quoteattr(str(g['span']['end'] - g['span']['start']))} "
+                        f"GC={quoteattr('%.2f' % g['confidence'])}/>"
+                        for g in glyphs
+                    )
+                    parts.append(f"<String {' '.join(attrs)}>{inner}</String>")
+                else:
+                    parts.append(f"<String {' '.join(attrs)}/>")
             parts.append("</TextLine>")
         parts.append("</TextBlock>")
     parts.append("</PrintSpace></Page></alto>")
@@ -78,11 +97,53 @@ def parse_alto(xml: str) -> dict:
                 "span": {"start": lstart, "end": lstart + int(tl.get("WIDTH"))},
                 "words": [],
             }
-            for st in tl.iter("{http://www.loc.gov/standards/alto/ns-v4#}String"):
+            for st in tl:
+                tag = st.tag.split("}", 1)[-1]
                 wstart = int(st.get("HPOS"))
+                if tag == "HYP":
+                    hspan = {"start": wstart, "end": wstart + int(st.get("WIDTH"))}
+                    line["words"].append(
+                        {
+                            "text": st.get("CONTENT"),
+                            "kind": "hyphen",
+                            "span": hspan,
+                            "confidence": 1.0,
+                            "subs_type": "",
+                            "subs_content": "",
+                            # the hyphen glyph is definitionally scored
+                            # 0.5 (Word.combineWith(hyphen)) — ALTO HYP
+                            # carries no children, so reconstruct it
+                            "glyphs": [
+                                {
+                                    "text": st.get("CONTENT"),
+                                    "span": dict(hspan),
+                                    "confidence": 0.5,
+                                }
+                            ],
+                        }
+                    )
+                    continue
+                if tag != "String":
+                    continue
+                glyphs = []
+                for g in st.iter(
+                    "{http://www.loc.gov/standards/alto/ns-v4#}Glyph"
+                ):
+                    gstart = int(g.get("HPOS"))
+                    glyphs.append(
+                        {
+                            "text": g.get("CONTENT"),
+                            "span": {
+                                "start": gstart,
+                                "end": gstart + int(g.get("WIDTH")),
+                            },
+                            "confidence": float(g.get("GC")),
+                        }
+                    )
                 line["words"].append(
                     {
                         "text": st.get("CONTENT"),
+                        "kind": "word",
                         "span": {
                             "start": wstart,
                             "end": wstart + int(st.get("WIDTH")),
@@ -90,6 +151,7 @@ def parse_alto(xml: str) -> dict:
                         "confidence": float(st.get("WC")),
                         "subs_type": st.get("SUBS_TYPE") or "",
                         "subs_content": st.get("SUBS_CONTENT") or "",
+                        "glyphs": glyphs,
                     }
                 )
             block["lines"].append(line)

@@ -145,13 +145,15 @@ def _minhash(shingles: "np.ndarray | set[int]") -> np.ndarray:
     return prods.min(axis=1)
 
 
-def _band_keys(sig: np.ndarray) -> list[str]:
-    keys = []
-    for b in range(_BANDS):
-        chunk = sig[b * _ROWS_PER_BAND : (b + 1) * _ROWS_PER_BAND]
-        digest = hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest()
-        keys.append(f"{b}:{digest}")
-    return keys
+def _band_keys(sig: np.ndarray) -> list[bytes]:
+    """Band bucket keys: band index byte + the band's raw minhash
+    values (no digest — the 4x8 raw bytes ARE a perfect key, and
+    skipping blake2b removes 16 digest calls per doc)."""
+    raw = sig.tobytes()
+    step = _ROWS_PER_BAND * 8
+    return [
+        bytes([b]) + raw[b * step : (b + 1) * step] for b in range(_BANDS)
+    ]
 
 
 # ----------------------------------------------------- shared oracle SQL
@@ -260,24 +262,26 @@ def minhash_band_rows(
     ``q_dedup_ngram``."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bands, sh_lists = [], [], []
+        ids, bands, sh_bytes = [], [], []
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
             sh = _shingle_array(text)
             sig = _minhash(sh)
-            for key in _band_keys(sig):
-                ids.append(doc_id)
-                bands.append(key)
-                if carry_shingles:
-                    sh_lists.append(sh)
-        cols = {"band": pa.array(bands), id_col: pa.array(ids, type=pa.int64())}
+            keys = _band_keys(sig)
+            ids.extend([doc_id] * len(keys))
+            bands.extend(keys)
+            if carry_shingles:
+                # binary (raw int64 bytes), not list<int64>: survives
+                # the pandas partition stage losslessly, decodes with
+                # np.frombuffer, and is serialized ONCE per doc
+                sh_bytes.extend([sh.tobytes()] * len(keys))
+        cols = {
+            "band": pa.array(bands, type=pa.binary()),
+            id_col: pa.array(ids, type=pa.int64()),
+        }
         if carry_shingles:
-            # binary (raw int64 bytes), not list<int64>: survives the
-            # pandas partition stage losslessly and decodes zero-copy
-            cols["shingles"] = pa.array(
-                [s.tobytes() for s in sh_lists], type=pa.binary()
-            )
+            cols["shingles"] = pa.array(sh_bytes, type=pa.binary())
         return pa.table(cols)
 
     return ds.map_batches(to_bands, batch_format="pyarrow", batch_size=4096)
@@ -314,6 +318,7 @@ def minhash_verified_pairs(
     threshold: float = JACCARD_THRESHOLD,
     text_col: str = "text",
     id_col: str = "doc_id",
+    distributed_dedup: bool = True,
 ) -> "ray.data.Dataset":
     """LSH candidates verified with exact Jaccard, fully distributed.
 
@@ -321,8 +326,11 @@ def minhash_verified_pairs(
     fused into the band-partition stage; band rows carry the shingle
     arrays so nothing re-reads or broadcasts the corpus. A pair
     surfacing in several bands is verified in each (cheap — sorted
-    array intersections) and deduped by a second small hash-partitioned
-    stage over the verified pairs (tiny relative to the corpus)."""
+    array intersections) and deduped by a second hash-partitioned
+    stage over the VERIFIED pairs. ``distributed_dedup=False`` skips
+    that second shuffle and leaves dedup to the consumer — right when
+    the verified set is known to be small (a Ray groupby has a
+    multi-second fixed cost regardless of size)."""
     banded = minhash_band_rows(ds, text_col, id_col, carry_shingles=True)
 
     def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
@@ -345,6 +353,8 @@ def minhash_verified_pairs(
         )
 
     verified = partitioned_apply(banded, ["band"], verify_partition)
+    if not distributed_dedup:
+        return verified
     return partitioned_apply(
         verified, ["id_a", "id_b"],
         lambda part: part.drop_duplicates(["id_a", "id_b"]),
@@ -361,8 +371,14 @@ def q_dedup_minhash(
     1-(1-j^4)^16 > 1-4e-8, so the verified pairs equal the exact pair
     set (verified empirically at every sf; deterministic seeds/data)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    pairs = _to_table(minhash_verified_pairs(ds, threshold))
-    return _round(pairs, {"jaccard": 4})
+    # the verified pair set is tiny (near-dups, not the corpus): dedup
+    # of multi-band discoveries on the materialized result beats a
+    # second Ray shuffle's fixed cost
+    pairs = _to_table(
+        minhash_verified_pairs(ds, threshold, distributed_dedup=False)
+    ).to_pandas()
+    pairs = pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    return _round(pa.Table.from_pandas(pairs, preserve_index=False), {"jaccard": 4})
 
 
 Q_DEDUP_MINHASH_SQL = TRUE_PAIRS_SQL

@@ -111,6 +111,47 @@ def q_assemble_conversations(sf_dir: str) -> pa.Table:
     return out
 
 
+def q_glyph_stats(sf_dir: str) -> pa.Table:
+    """Glyph-level extraction end-to-end: run the FULL pipeline with
+    blocks+glyphs (the 5-level hierarchy, ``Glyph.scala:9`` +
+    ``FullYoloSegmenter.scala:148-182`` tiling), then count glyphs by
+    walking the nested block/line/word/glyph structure. On this ASCII
+    corpus every glyph is one non-whitespace character of
+    ``extracted_text`` — which is exactly what the SQL oracle counts,
+    so the nested structure itself is hash-checked."""
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction(turns, include_blocks=True, include_glyphs=True)
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n_glyphs = []
+        for blocks in batch["blocks"].to_pylist():
+            total = 0
+            for block in blocks or []:
+                for line in block["lines"]:
+                    for word in line["words"]:
+                        total += len(word["glyphs"])
+            n_glyphs.append(total)
+        return pa.table(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"],
+                "n_words": pa.compute.cast(batch["n_words"], pa.int32()),
+                "n_glyphs": pa.array(n_glyphs, type=pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(stats, batch_format="pyarrow")
+
+
+Q_GLYPH_STATS_SQL = f"""
+WITH t AS ({_DERIVE_SQL})
+SELECT conv_id, turn_idx, n_words,
+       CAST(LENGTH(REGEXP_REPLACE(extracted_text, '\\s', '', 'g')) AS BIGINT)
+         AS n_glyphs
+FROM t
+"""
+
+
 Q_ASSEMBLE_CONVERSATIONS_SQL = f"""
 WITH t AS ({_DERIVE_SQL})
 SELECT conv_id,

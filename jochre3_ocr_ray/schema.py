@@ -31,14 +31,30 @@ ALTERNATIVE_TYPE = pa.struct(
     [pa.field("purpose", pa.string()), pa.field("content", pa.string())]
 )
 
+# the 5th granularity (Glyph.scala:9): one entry per user-perceived
+# character; span subdivides the word span (the text-exact analog of
+# FullYoloSegmenter.scala:148-182 glyph tiling — inter-glyph borders
+# are character boundaries)
+GLYPH_TYPE = pa.struct(
+    [
+        pa.field("text", pa.string()),
+        pa.field("span", SPAN_TYPE),
+        pa.field("confidence", pa.float32()),
+    ]
+)
+
 WORD_TYPE = pa.struct(
     [
         pa.field("text", pa.string()),
+        # "word" | "hyphen" — Hyphen is a distinct ALTO element in the
+        # reference (YiddishAltoTransformer.scala:250-352)
+        pa.field("kind", pa.string()),
         pa.field("span", SPAN_TYPE),
         pa.field("confidence", pa.float32()),
         pa.field("subs_type", pa.string()),
         pa.field("subs_content", pa.string()),
         pa.field("alternatives", pa.list_(ALTERNATIVE_TYPE)),
+        pa.field("glyphs", pa.list_(GLYPH_TYPE)),
     ]
 )
 
@@ -73,6 +89,7 @@ EXTRACTION_SCHEMA = pa.schema(
         pa.field("blocks", BLOCKS_TYPE),
         pa.field("confidence", pa.float64()),
         pa.field("lang", pa.string()),
+        pa.field("skew", pa.float64()),
         pa.field("n_blocks", pa.int32()),
         pa.field("n_lines", pa.int32()),
         pa.field("n_words", pa.int32()),

@@ -42,11 +42,20 @@ def _apply(
     lexicon: Lexicon,
     include_blocks: bool,
     alternatives_fn=None,
+    include_glyphs: bool = False,
+    glyph_candidates_fn=None,
 ) -> pa.Table:
     texts = batch.column("text").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
     results = [
-        extract_turn(text, idx, lexicon, alternatives_fn)
+        extract_turn(
+            text,
+            idx,
+            lexicon,
+            alternatives_fn,
+            include_glyphs=include_blocks and include_glyphs,
+            glyph_candidates_fn=glyph_candidates_fn,
+        )
         for text, idx in zip(texts, turn_idxs)
     ]
 
@@ -69,6 +78,9 @@ def _apply(
         np.array([r["confidence"] for r in results], dtype=np.float64)
     )
     columns["lang"] = pa.array([r["lang"] for r in results], type=pa.string())
+    columns["skew"] = pa.array(
+        np.array([r["skew"] for r in results], dtype=np.float64)
+    )
     for key in ("n_blocks", "n_lines", "n_words"):
         columns[key] = pa.array(np.array([r[key] for r in results], dtype=np.int32))
     columns["pipeline_version"] = pa.array(
@@ -94,12 +106,16 @@ class ExtractTurns:
         lexicon_path: str | None = None,
         include_blocks: bool = True,
         include_alternatives: bool = False,
+        include_glyphs: bool = False,
+        glyph_candidates_fn=None,
     ):
         # once per actor: lexicon load + (module-level) regex compilation
         # + transliteration tables (the GlyphGuesser/Lexicon singleton
         # pattern)
         self.lexicon = Lexicon.load(lexicon_path)
         self.include_blocks = include_blocks
+        self.include_glyphs = include_glyphs
+        self.glyph_candidates_fn = glyph_candidates_fn
         if include_alternatives:
             from ..functions.alternatives import build_alternatives
             from ..functions.transliterate import Transliterator
@@ -110,7 +126,14 @@ class ExtractTurns:
             self.alternatives_fn = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return _apply(batch, self.lexicon, self.include_blocks, self.alternatives_fn)
+        return _apply(
+            batch,
+            self.lexicon,
+            self.include_blocks,
+            self.alternatives_fn,
+            include_glyphs=self.include_glyphs,
+            glyph_candidates_fn=self.glyph_candidates_fn,
+        )
 
 
 _PROCESS_LEXICON: Lexicon | None = None
