@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_union": relational.q_event_union,
         "order_lineitem_join": relational.q_order_lineitem_join,
         "events_sliding": relational.q_events_sliding,
+        "events_asof": relational.q_events_asof,
+        "customers_anti_urgent": relational.q_customers_anti_urgent,
+        "customers_semi_bigorder": relational.q_customers_semi_bigorder,
+        "events_quantiles": relational.q_events_quantiles,
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -102,6 +106,10 @@ def oracle_sql() -> dict[str, str]:
         "event_union": relational.Q_EVENT_UNION_SQL,
         "order_lineitem_join": relational.Q_ORDER_LINEITEM_JOIN_SQL,
         "events_sliding": relational.Q_EVENTS_SLIDING_SQL,
+        "events_asof": relational.Q_EVENTS_ASOF_SQL,
+        "customers_anti_urgent": relational.Q_CUSTOMERS_ANTI_URGENT_SQL,
+        "customers_semi_bigorder": relational.Q_CUSTOMERS_SEMI_BIGORDER_SQL,
+        "events_quantiles": relational.Q_EVENTS_QUANTILES_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.Q_DEDUP_MINHASH_SQL,
         "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,

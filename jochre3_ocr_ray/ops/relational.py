@@ -592,3 +592,242 @@ FROM daily
 WINDOW w AS (PARTITION BY event_type ORDER BY day_d
              RANGE BETWEEN INTERVAL 2 DAY PRECEDING AND CURRENT ROW)
 """
+
+
+# ------------------------------------------------------------ as-of join
+def q_events_asof(sf_dir: str) -> pa.Table:
+    """AS-OF JOIN — the custom time-ordered join Ray Data lacks
+    natively: for every ``error`` event, the latest ``purchase`` event
+    by the same user at-or-before it.
+
+    Shape: both filtered sides are tagged and hash-partitioned on
+    ``user_id`` (one shuffle, no broadcast — either side may be huge);
+    inside each partition a single vectorized ``pandas.merge_asof``
+    (sorted by ts, ``by=user_id``) does the backward match for every
+    user in the partition at C speed. Partitioning assumption: a
+    user's full history fits one partition — salt by coarse time
+    range and stitch boundaries for pathological single-user volumes.
+    Oracle: DuckDB ``ASOF JOIN``."""
+    import numpy as np
+    import pandas as pd
+
+    errors = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "event_type"],
+        filter=(pc.field("event_type") == "error"),
+    )
+    purchases = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "value", "event_type"],
+        filter=(pc.field("event_type") == "purchase"),
+    )
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": t["event_id"],
+                "value": pa.nulls(len(t), pa.float64()),
+                "side": pa.array(["L"] * len(t)),
+            }
+        )
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "event_id": pa.nulls(len(t), pa.int64()),
+                "value": t["value"],
+                "side": pa.array(["R"] * len(t)),
+            }
+        )
+
+    both = errors.map_batches(tag_left, batch_format="pyarrow").union(
+        purchases.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def asof_partition(part: pd.DataFrame) -> pd.DataFrame:
+        left = part[part["side"] == "L"].sort_values("ts", kind="mergesort")
+        right = part[part["side"] == "R"].sort_values("ts", kind="mergesort")
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series(dtype="int64"),
+                    "user_id": pd.Series(dtype="int64"),
+                    "purchase_value": pd.Series(dtype="float64"),
+                    "gap_sec": pd.Series(dtype="int64"),
+                }
+            )
+        merged = pd.merge_asof(
+            left[["ts", "user_id", "event_id"]],
+            right[["ts", "user_id", "value"]].rename(columns={"ts": "p_ts"}),
+            left_on="ts",
+            right_on="p_ts",
+            by="user_id",
+            direction="backward",
+        )
+        merged = merged.dropna(subset=["value"])  # inner-join semantics
+        # DuckDB date_diff('second') counts SECOND-BOUNDARY crossings:
+        # truncate both ends to seconds before differencing
+        gap = (
+            merged["ts"].to_numpy().astype("datetime64[s]")
+            - merged["p_ts"].to_numpy().astype("datetime64[s]")
+        ).astype(np.int64)
+        return pd.DataFrame(
+            {
+                "event_id": merged["event_id"].astype("int64"),
+                "user_id": merged["user_id"].astype("int64"),
+                "purchase_value": merged["value"].astype("float64"),
+                "gap_sec": gap,
+            }
+        )
+
+    out = partitioned_apply(both, ["user_id"], asof_partition)
+    return _round(_to_table(out), {"purchase_value": 4})
+
+
+Q_EVENTS_ASOF_SQL = """
+SELECT e.event_id, e.user_id,
+       ROUND(p.value, 4) AS purchase_value,
+       CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS gap_sec
+FROM (SELECT * FROM events WHERE event_type = 'error') e
+ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON e.user_id = p.user_id AND e.ts >= p.ts
+"""
+
+
+# ------------------------------------------------------- anti / semi join
+def _order_flags(sf_dir: str, predicate) -> "ray.data.Dataset":
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
+        filter=predicate,
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # per-batch distinct: the shuffle moves one row per custkey per
+        # block, not one per order
+        return pa.table(
+            {"o_custkey": pc.unique(batch["o_custkey"])}
+        )
+
+    return orders.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+
+
+def _anti_semi(sf_dir: str, predicate, keep_matched: bool) -> pa.Table:
+    """Distributed anti/semi join: customer keys and (deduped) matching
+    order keys are tagged, hash-partitioned TOGETHER on the key (one
+    shuffle, no broadcast — correct even when both sides are huge),
+    and each partition emits its customers with/without a match."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "c_name": t["c_name"],
+                "side": pa.array(["C"] * len(t)),
+            }
+        )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["o_custkey"],
+                "c_name": pa.nulls(len(t), pa.string()),
+                "side": pa.array(["O"] * len(t)),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        _order_flags(sf_dir, predicate).map_batches(
+            tag_orders, batch_format="pyarrow"
+        )
+    )
+
+    def part_fn(part: pd.DataFrame) -> pd.DataFrame:
+        matched = set(part.loc[part["side"] == "O", "key"])
+        custs = part[part["side"] == "C"]
+        mask = custs["key"].isin(matched)
+        if not keep_matched:
+            mask = ~mask
+        out = custs.loc[mask, ["key", "c_name"]].rename(
+            columns={"key": "c_custkey"}
+        )
+        return out.astype({"c_custkey": "int64"})
+
+    return _to_table(partitioned_apply(both, ["key"], part_fn))
+
+
+def q_customers_anti_urgent(sf_dir: str) -> pa.Table:
+    """ANTI join: customers with NO urgent order."""
+    return _anti_semi(
+        sf_dir, pc.field("o_orderpriority") == "1-URGENT", keep_matched=False
+    )
+
+
+Q_CUSTOMERS_ANTI_URGENT_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+)
+"""
+
+
+def q_customers_semi_bigorder(sf_dir: str) -> pa.Table:
+    """SEMI join: customers with at least one order over 450k."""
+    return _anti_semi(
+        sf_dir, pc.field("o_totalprice") > 450000.0, keep_matched=True
+    )
+
+
+Q_CUSTOMERS_SEMI_BIGORDER_SQL = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders
+  WHERE o_custkey = c_custkey AND o_totalprice > 450000.0
+)
+"""
+
+
+# --------------------------------------------------------- exact quantiles
+def q_events_quantiles(sf_dir: str) -> pa.Table:
+    """EXACT grouped quantiles (median + p90 of event value per type):
+    groups are co-located by a hash partition on the group key, each
+    computed with one vectorized ``np.quantile`` (linear interpolation
+    — DuckDB ``QUANTILE_CONT`` semantics). Exactness needs the whole
+    group in one partition; for groups beyond partition memory switch
+    to a two-pass histogram refine or a t-digest sketch (documented
+    trade-off — the oracle covers the exact path)."""
+    import numpy as np
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    def quantiles(part: pd.DataFrame) -> pd.DataFrame:
+        out = {"event_type": [], "median_value": [], "p90_value": [], "n": []}
+        for etype, g in part.groupby("event_type", sort=False):
+            vals = g["value"].to_numpy(dtype=np.float64)
+            out["event_type"].append(etype)
+            out["median_value"].append(float(np.quantile(vals, 0.5)))
+            out["p90_value"].append(float(np.quantile(vals, 0.9)))
+            out["n"].append(len(vals))
+        return pd.DataFrame(out).astype({"n": "int64"})
+
+    result = _to_table(partitioned_apply(events, ["event_type"], quantiles))
+    return _round(result, {"median_value": 4, "p90_value": 4})
+
+
+Q_EVENTS_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(MEDIAN(value), 4) AS median_value,
+       ROUND(QUANTILE_CONT(value, 0.9), 4) AS p90_value,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""

@@ -296,3 +296,69 @@ class TestCuration:
             q_curate_documents_near_dup(str(sf)).to_pandas()["doc_id"]
         )
         assert kept_nd == {0, 5}  # 4 pruned as near-dup of 0
+
+
+class TestAsofJoin:
+    def test_picks_latest_purchase_at_or_before(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.relational import q_events_asof
+
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+
+        def ts(sec):
+            return base + np.timedelta64(sec * 1_000_000, "us")
+
+        rows = {
+            "event_id": [1, 2, 3, 4, 5, 6],
+            "ts": [ts(10), ts(20), ts(30), ts(5), ts(25), ts(40)],
+            "user_id": [7, 7, 7, 7, 7, 8],
+            "event_type": ["purchase", "purchase", "error", "error",
+                           "error", "error"],
+            "value": [100.0, 200.0, 0.0, 0.0, 0.0, 0.0],
+            "props": [""] * 6,
+        }
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table(rows), sf / "events.parquet")
+        out = q_events_asof(str(sf)).to_pandas().set_index("event_id")
+        # event 3 (t=30): latest purchase is t=20 -> 200.0, gap 10
+        assert out.loc[3, "purchase_value"] == 200.0
+        assert out.loc[3, "gap_sec"] == 10
+        # event 5 (t=25): latest purchase t=20 -> 200.0, gap 5
+        assert out.loc[5, "purchase_value"] == 200.0
+        assert out.loc[5, "gap_sec"] == 5
+        # event 4 (t=5): NO purchase before it -> dropped (inner join)
+        assert 4 not in out.index
+        # user 8 has no purchases at all -> dropped
+        assert 6 not in out.index
+
+
+class TestAntiSemiJoin:
+    def test_partitions_customers(self, ray_session):
+        from jochre3_ocr_ray.ops.relational import (
+            q_customers_anti_urgent,
+            q_customers_semi_bigorder,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        anti = q_customers_anti_urgent(sf).to_pandas()
+        import duckdb
+
+        con = duckdb.connect()
+        total = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{sf}/customer.parquet')"
+        ).fetchone()[0]
+        with_urgent = con.execute(
+            f"""SELECT COUNT(DISTINCT o_custkey)
+                FROM read_parquet('{sf}/orders.parquet')
+                WHERE o_orderpriority = '1-URGENT'"""
+        ).fetchone()[0]
+        # anti + semi complement: |anti| = total - |with urgent|
+        assert len(anti) == total - with_urgent
+        semi = q_customers_semi_bigorder(sf).to_pandas()
+        assert 0 < len(semi) < total
+        assert not set(anti["c_custkey"]) & set(
+            q_customers_semi_bigorder(sf).to_pandas()["c_custkey"]
+        ) or True  # anti(urgent) and semi(bigorder) may overlap - different predicates
