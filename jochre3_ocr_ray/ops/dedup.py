@@ -847,28 +847,278 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
     return {x: find(x) for x in parent}
 
 
+@ray.remote
+def _split_by_key(table: pa.Table, key: str, num_parts: int) -> list[pa.Table]:
+    """Hash-split one Arrow block into ``num_parts`` sub-tables."""
+    h = (table[key].to_numpy() % num_parts).astype(np.int64)
+    order = np.argsort(h, kind="stable")
+    sorted_t = table.take(order)
+    counts = np.bincount(h, minlength=num_parts)
+    out, pos = [], 0
+    for c in counts:
+        out.append(sorted_t.slice(pos, int(c)))
+        pos += int(c)
+    return out
+
+
+@ray.remote
+def _combine_parts(fn, *tables: pa.Table) -> pa.Table:
+    live = [t for t in tables if t.num_rows]
+    if not live:
+        # run fn on an empty input so the OUTPUT schema is still fn's
+        # (an empty partition must not leak the input schema downstream)
+        return fn(tables[0].slice(0, 0))
+    return fn(pa.concat_tables(live, promote_options="default"))
+
+
+def _exchange(refs: list, key: str, num_parts: int, fn) -> list:
+    """Raw-Ray-task all-to-all: hash-split every block on ``key``, then
+    one combiner task per partition applies ``fn`` to its co-located
+    rows. This is the tier-(c) fallback the Dataset API can't express
+    cheaply — a Ray ``groupby`` pays a multi-second global-sort cost
+    per call, ruinous for ITERATIVE algorithms; this exchange is pure
+    task scheduling over object refs (~ms fixed cost per round)."""
+    if num_parts == 1:
+        # single partition: no split needed (and num_returns=1 would
+        # wrap the list itself in one ref)
+        return [_combine_parts.remote(fn, *refs)]
+    splits = [
+        _split_by_key.options(num_returns=num_parts).remote(r, key, num_parts)
+        for r in refs
+    ]
+    return [
+        _combine_parts.remote(fn, *(s[p] for s in splits))
+        for p in range(num_parts)
+    ]
+
+
+def connected_components_distributed(
+    pairs: "ray.data.Dataset", max_rounds: int = 25, num_parts: int = 8
+) -> pa.Table:
+    """Distributed connected components by iterative min-label
+    propagation with POINTER JUMPING — the scale path for pair sets
+    too large for the driver union-find (``connected_components``).
+
+    Built on ``_exchange`` (raw Ray tasks, object-store resident — a
+    Dataset ``groupby`` per round would pay its multi-second sort cost
+    ~4x per iteration). Each round:
+
+    1. NEIGHBOR PROPAGATE — labels travel along edges (edges + labels
+       co-partitioned by source), group-min per destination;
+    2. POINTER JUMP — ``label := min(label, label[label])`` (labels
+       re-keyed by their label), which halves path distances so a path
+       graph converges in O(log diameter) rounds, not O(diameter).
+
+    The driver touches only per-round changed COUNTS (scalars); edge
+    and label partitions stay in the object store. Returns (doc_id,
+    cluster_id) with cluster id = min member — identical to the
+    union-find output (pytest pins equality, including a path graph)."""
+
+    def double(t: pa.Table) -> pa.Table:
+        a = t["id_a"].to_numpy()
+        b = t["id_b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "peer": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edge_refs = [
+        ray.put(double(t))
+        for t in ray.get(pairs.to_arrow_refs())
+        if t.num_rows
+    ]
+    if not edge_refs:
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "cluster_id": pa.array([], type=pa.int64()),
+            }
+        )
+
+    # initial labels: label = node, one row per distinct node,
+    # partitioned on node by the same exchange
+    def init_labels(t: pa.Table) -> pa.Table:
+        nodes = np.unique(t["node"].to_numpy())
+        return pa.table({"node": pa.array(nodes), "label": pa.array(nodes)})
+
+    label_refs = _exchange(edge_refs, "node", num_parts, init_labels)
+    # co-partition the edges once (they never move again)
+    edge_part_refs = _exchange(edge_refs, "node", num_parts, lambda t: t)
+
+    def send_messages(t: pa.Table) -> pa.Table:
+        """Input: one partition's edges + labels (tagged by peer=-1 for
+        label rows). Output: (node, label, is_self) messages."""
+        import pandas as pd
+
+        df = t.to_pandas()
+        lab = df[df["peer"] < 0][["node", "label"]]
+        edge = df[df["peer"] >= 0][["node", "peer"]]
+        msgs = edge.merge(lab, on="node")[["peer", "label"]].rename(
+            columns={"peer": "node"}
+        )
+        msgs["is_self"] = np.int8(0)
+        lab = lab.copy()
+        lab["is_self"] = np.int8(1)
+        out = pd.concat([lab, msgs], ignore_index=True)
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy(dtype=np.int64)),
+                "label": pa.array(out["label"].to_numpy(dtype=np.int64)),
+                "is_self": pa.array(out["is_self"].to_numpy(dtype=np.int8)),
+            }
+        )
+
+    def adopt_min(t: pa.Table) -> pa.Table:
+        """Group-min per node + changed flag vs the self row's label."""
+        import pandas as pd
+
+        df = t.to_pandas()
+        mins = df.groupby("node")["label"].min()
+        olds = df[df["is_self"] == 1].set_index("node")["label"]
+        out = pd.DataFrame(
+            {
+                "node": mins.index.to_numpy(),
+                "label": mins.to_numpy(),
+                "old": olds.reindex(mins.index).to_numpy(),
+            }
+        )
+        out["changed"] = (out["label"] < out["old"]).astype("int64")
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy(dtype=np.int64)),
+                "label": pa.array(out["label"].to_numpy(dtype=np.int64)),
+                "changed": pa.array(out["changed"].to_numpy(dtype=np.int64)),
+            }
+        )
+
+    @ray.remote
+    def tag_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "peer": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "label": t["label"],
+            }
+        )
+
+    @ray.remote
+    def tag_edges_with_null_label(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "peer": t["peer"],
+                "label": pa.array(np.full(len(t), np.iinfo(np.int64).max)),
+            }
+        )
+
+    @ray.remote
+    def jump_requests(t: pa.Table) -> pa.Table:
+        # (key=label, node) requests + strip changed col
+        return pa.table(
+            {
+                "key": t["label"],
+                "node": t["node"],
+                "label": pa.array(np.full(len(t), -1, dtype=np.int64)),
+            }
+        )
+
+    @ray.remote
+    def jump_owners(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["node"],
+                "node": pa.array(np.full(len(t), -1, dtype=np.int64)),
+                "label": t["label"],
+            }
+        )
+
+    def respond(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        df = t.to_pandas()
+        owners = df[df["node"] < 0][["key", "label"]]
+        reqs = df[df["node"] >= 0][["key", "node"]]
+        out = reqs.merge(owners, on="key")[["node", "label"]]
+        return pa.table(
+            {
+                "node": pa.array(out["node"].to_numpy(dtype=np.int64)),
+                "label": pa.array(out["label"].to_numpy(dtype=np.int64)),
+                "is_self": pa.array(np.zeros(len(out), dtype=np.int8)),
+            }
+        )
+
+    @ray.remote
+    def strip_to_messages(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": t["node"],
+                "label": t["label"],
+                "is_self": pa.array(np.ones(len(t), dtype=np.int8)),
+            }
+        )
+
+    @ray.remote
+    def changed_count(t: pa.Table) -> int:
+        import pyarrow.compute as _pc
+
+        return int(_pc.sum(t["changed"]).as_py() or 0)
+
+    @ray.remote
+    def drop_changed(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["changed"])
+
+    for _ in range(max_rounds):
+        # phase 1: neighbor propagate (edges already partitioned: tag
+        # both sides, exchange messages by destination node)
+        tagged = [tag_labels.remote(r) for r in label_refs] + [
+            tag_edges_with_null_label.remote(r) for r in edge_part_refs
+        ]
+        msg_refs = _exchange(tagged, "node", num_parts, send_messages)
+        adopted = _exchange(msg_refs, "node", num_parts, adopt_min)
+        changed1 = sum(ray.get([changed_count.remote(r) for r in adopted]))
+        half = [drop_changed.remote(r) for r in adopted]
+
+        # phase 2: pointer jump
+        jump_tagged = [jump_requests.remote(r) for r in half] + [
+            jump_owners.remote(r) for r in half
+        ]
+        jump_msgs = _exchange(jump_tagged, "key", num_parts, respond)
+        combined = [strip_to_messages.remote(r) for r in half] + jump_msgs
+        adopted2 = _exchange(combined, "node", num_parts, adopt_min)
+        changed2 = sum(ray.get([changed_count.remote(r) for r in adopted2]))
+        label_refs = [drop_changed.remote(r) for r in adopted2]
+        if changed1 == 0 and changed2 == 0:
+            break
+
+    result = pa.concat_tables(
+        [t for t in ray.get(label_refs) if t.num_rows],
+        promote_options="default",
+    )
+    return result.rename_columns(["doc_id", "cluster_id"]).sort_by("doc_id")
+
+
 def q_dedup_clusters(
     sf_dir: str, threshold: float = JACCARD_THRESHOLD
 ) -> pa.Table:
     """Near-dup clusters: MinHash-verified pairs -> connected
     components -> (doc_id, cluster_id, keep). ``keep`` marks the
     canonical (min id) member — the "keep first per group" dedup
-    decision. Hash-checked: the SQL oracle recomputes the exact pair
-    set and its transitive closure with a recursive CTE."""
-    pairs_table = q_dedup_minhash(sf_dir, threshold=threshold)
-    pairs = list(
-        zip(
-            pairs_table["id_a"].to_pylist(),
-            pairs_table["id_b"].to_pylist(),
-        )
-    )
-    labels = connected_components(pairs)
-    doc_ids = sorted(labels)
+    decision. Components run DISTRIBUTED (min-label propagation with
+    pointer jumping over the raw-task exchange — the pair graph never
+    lands on the driver); the driver union-find remains as the
+    small-scale kernel and its equality is test-pinned. Hash-checked:
+    the SQL oracle recomputes the exact pair set and its transitive
+    closure with a recursive CTE."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    pairs_ds = minhash_verified_pairs(ds, threshold, distributed_dedup=False)
+    labels = connected_components_distributed(pairs_ds)
     return pa.table(
         {
-            "doc_id": pa.array(doc_ids, type=pa.int64()),
-            "cluster_id": pa.array([labels[d] for d in doc_ids], type=pa.int64()),
-            "keep": pa.array([labels[d] == d for d in doc_ids], type=pa.bool_()),
+            "doc_id": labels["doc_id"],
+            "cluster_id": labels["cluster_id"],
+            "keep": pa.compute.equal(labels["cluster_id"], labels["doc_id"]),
         }
     )
 

@@ -362,3 +362,57 @@ class TestAntiSemiJoin:
         assert not set(anti["c_custkey"]) & set(
             q_customers_semi_bigorder(sf).to_pandas()["c_custkey"]
         ) or True  # anti(urgent) and semi(bigorder) may overlap - different predicates
+
+
+class TestDistributedComponents:
+    def test_matches_union_find(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import (
+            connected_components,
+            connected_components_distributed,
+        )
+
+        rng = np.random.RandomState(17)
+        # random sparse graph: 120 nodes, 80 edges -> many components,
+        # some chains (exercises multi-round propagation)
+        edges = set()
+        while len(edges) < 80:
+            a, b = rng.randint(0, 120, 2)
+            if a != b:
+                edges.add((min(a, b), max(a, b)))
+        pairs = sorted(edges)
+        expected = connected_components(pairs)
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([p[0] for p in pairs], type=pa.int64()),
+                    "id_b": pa.array([p[1] for p in pairs], type=pa.int64()),
+                }
+            )
+        )
+        got_tab = connected_components_distributed(ds).to_pandas()
+        got = dict(zip(got_tab["doc_id"].astype(int), got_tab["cluster_id"].astype(int)))
+        assert got == expected
+
+    def test_chain_converges(self, ray_session):
+        """A long path graph needs several propagation rounds."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import connected_components_distributed
+
+        n = 30
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(list(range(n - 1)), type=pa.int64()),
+                    "id_b": pa.array(list(range(1, n)), type=pa.int64()),
+                }
+            )
+        )
+        got = connected_components_distributed(ds).to_pandas()
+        assert (got["cluster_id"] == 0).all()
+        assert len(got) == n
