@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_topk": similarity.q_ann_ivf_topk,
         # text analysis
         "token_count": textstats.q_token_count,
+        "token_count_bpe": textstats.q_token_count_bpe,
         "quality_score": textstats.q_quality_score,
         "fingerprint": textstats.q_fingerprint,
         "langid": textstats.q_langid,
@@ -120,6 +121,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
         "ann_ivf_topk": similarity.Q_ANN_IVF_TOPK_SQL,
         "token_count": textstats.Q_TOKEN_COUNT_SQL,
+        "token_count_bpe": textstats.Q_TOKEN_COUNT_BPE_SQL,
         "quality_score": textstats.Q_QUALITY_SCORE_SQL,
         "fingerprint": textstats.Q_FINGERPRINT_SQL,
         "langid": textstats.Q_LANGID_SQL,

@@ -223,3 +223,82 @@ LEFT JOIN best b ON b.doc_id = f.doc_id AND b.rn = 1
 
 
 Q_LANGID_SQL = _langid_sql()
+
+
+# ----------------------------------------------------- BPE-ish tokens
+# GPT-2-style pretokenizer regex, restricted to constructs RE2 supports
+# (no lookahead) — and BOTH sides run RE2: pyarrow's
+# count_substring_regex and DuckDB's regexp_extract_all, so the oracle
+# is engine-identical, not just semantically similar.
+BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
+
+
+def q_token_count_bpe(sf_dir: str) -> pa.Table:
+    """BPE-ish pretokenizer token count per document (the LLM-cost
+    estimator the build brief calls for alongside whitespace counts):
+    vectorized RE2 match counting, single pass, no shuffle."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(batch["text"], BPE_PATTERN),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return ds.map_batches(count, batch_format="pyarrow", batch_size=65536)
+
+
+Q_TOKEN_COUNT_BPE_SQL = f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{BPE_PATTERN.replace("'", "''")}')) AS BIGINT)
+         AS n_bpe_tokens
+FROM documents
+"""
+
+
+# --------------------------------------------------- rolling fingerprint
+_ROLL_BASE = np.uint64(257)
+_ROLL_MASK = np.uint64((1 << 61) - 1)
+
+
+def rolling_hashes(text: str, window: int = 16) -> np.ndarray:
+    """Rabin-Karp rolling hashes over the utf-8 bytes: one 61-bit hash
+    per ``window``-byte substring, computed with the O(n) slide (add
+    head, drop tail) — the winnowing/fingerprinting kernel (each
+    document's selected hashes become its content fingerprint set)."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = len(data)
+    if n < window:
+        window = max(1, n)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        # precompute base powers; slide in one vectorized pass via
+        # cumulative polynomial trick: h[i] = sum(data[i+j]*B^(w-1-j))
+        powers = np.empty(window, dtype=np.uint64)
+        powers[window - 1] = np.uint64(1)
+        for j in range(window - 2, -1, -1):
+            powers[j] = (powers[j + 1] * _ROLL_BASE) & _ROLL_MASK
+        m = n - window + 1
+        out = np.zeros(m, dtype=np.uint64)
+        for j in range(window):  # window is small and fixed; data-axis vectorized
+            out = (out + data[j : j + m] * powers[j]) & _ROLL_MASK
+    return out
+
+
+def winnow_fingerprints(text: str, window: int = 16, stride: int = 8) -> set[int]:
+    """Winnowing: the MIN rolling hash of each ``stride``-wide band —
+    position-robust document fingerprints (near-dup candidates share
+    fingerprints under local edits)."""
+    hs = rolling_hashes(text, window)
+    if hs.size == 0:
+        return set()
+    pad = (-hs.size) % stride
+    if pad:
+        hs = np.concatenate([hs, np.full(pad, np.iinfo(np.uint64).max, np.uint64)])
+    return set(hs.reshape(-1, stride).min(axis=1).tolist())

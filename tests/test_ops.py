@@ -416,3 +416,30 @@ class TestDistributedComponents:
         got = connected_components_distributed(ds).to_pandas()
         assert (got["cluster_id"] == 0).all()
         assert len(got) == n
+
+
+class TestRollingFingerprints:
+    def test_rolling_hash_slide_consistency(self):
+        from jochre3_ocr_ray.ops.textstats import rolling_hashes
+
+        text = "abcdefgh XX abcdefgh tail"
+        hs = rolling_hashes(text, window=8)
+        assert len(hs) == len(text.encode()) - 8 + 1
+        # identical 8-byte substrings hash identically
+        assert hs[0] == hs[12]
+        # and a different window differs
+        assert hs[0] != hs[1]
+        # short text falls back to whole-text window
+        assert len(rolling_hashes("abc", window=16)) == 1
+        assert len(rolling_hashes("", window=16)) == 0
+
+    def test_winnowing_robust_to_local_edit(self):
+        from jochre3_ocr_ray.ops.textstats import winnow_fingerprints
+
+        a = "the quick brown fox jumps over the lazy dog again and again"
+        b = a.replace("lazy", "hazy")  # one local edit
+        c = "completely different content with no overlap whatsoever here"
+        fa, fb, fc = (winnow_fingerprints(t) for t in (a, b, c))
+        inter_ab = len(fa & fb) / max(len(fa | fb), 1)
+        inter_ac = len(fa & fc) / max(len(fa | fc), 1)
+        assert inter_ab > 0.3 > inter_ac
