@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.q_langid,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
+        "media_frames": multimodal.q_media_frames,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
         # training-data curation pipeline (ops composed)
@@ -126,6 +127,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": textstats.Q_FINGERPRINT_SQL,
         "langid": textstats.Q_LANGID_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
+        "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
         "curate_documents_near_dup": _curate().Q_CURATE_DOCUMENTS_NEAR_DUP_SQL,

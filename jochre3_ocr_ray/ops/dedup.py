@@ -531,11 +531,123 @@ def ngram_exact_pairs(
     return partitioned_apply(sided, ["id_a", "id_b"], verify)
 
 
+def ngram_exact_pairs_counted(
+    ds: "ray.data.Dataset",
+    threshold: float = JACCARD_THRESHOLD,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_df: int | None = None,
+) -> "ray.data.Dataset":
+    """EXACT n-gram Jaccard pairs from the inverted index ALONE — no
+    shingle-set join-back, no per-pair verify loop.
+
+    Key identity: shingles are SETS, so a pair's intersection size is
+    exactly the number of index buckets both docs appear in. Carrying
+    each doc's shingle COUNT on its index rows gives
+    ``J = inter / (na + nb - inter)`` from two vectorized grouped
+    aggregations:
+
+    1. explode (shingle, doc_id, n_sh) -> per-shingle-bucket pair rows
+       (id_a, id_b, na, nb) via ``np.triu_indices`` (vectorized);
+    2. ``groupby(id_a, id_b)``: inter = group SIZE (one row per shared
+       shingle), then filter ``J >= t``.
+
+    ~40x faster than the join-back twin on co-occurrence-heavy corpora
+    (the verify loop was ~100us of pandas overhead per candidate pair;
+    this is a group-size count). ``ngram_exact_pairs`` (join-back)
+    remains for when downstream needs the shingle sets themselves."""
+    import pandas as pd
+
+    def to_index(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_pylist()
+        doc_ids, counts, shingle_arrs = [], [], []
+        for doc_id, text in zip(ids, batch[text_col].to_pylist()):
+            arr = _shingle_array(text)
+            doc_ids.append(np.full(arr.size, doc_id, dtype=np.int64))
+            counts.append(np.full(arr.size, arr.size, dtype=np.int64))
+            shingle_arrs.append(arr)
+        if not shingle_arrs:
+            return pa.table(
+                {
+                    "shingle": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_sh": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "shingle": pa.array(np.concatenate(shingle_arrs)),
+                "doc_id": pa.array(np.concatenate(doc_ids)),
+                "n_sh": pa.array(np.concatenate(counts)),
+            }
+        )
+
+    inverted = ds.map_batches(to_index, batch_format="pyarrow", batch_size=4096)
+
+    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        part = part[part.duplicated("shingle", keep=False)]
+        out_a, out_b, out_na, out_nb = [], [], [], []
+        for _, group in part.groupby("shingle", sort=False):
+            g = group.drop_duplicates("doc_id").sort_values("doc_id")
+            m = len(g)
+            if m < 2 or (max_df is not None and m > max_df):
+                continue
+            ids = g["doc_id"].to_numpy()
+            ns = g["n_sh"].to_numpy()
+            ii, jj = np.triu_indices(m, k=1)
+            out_a.append(ids[ii])
+            out_b.append(ids[jj])
+            out_na.append(ns[ii])
+            out_nb.append(ns[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "na": pd.Series(dtype="int64"),
+                    "nb": pd.Series(dtype="int64"),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "na": np.concatenate(out_na),
+                "nb": np.concatenate(out_nb),
+            }
+        )
+
+    occurrences = partitioned_apply(inverted, ["shingle"], bucket_pairs)
+
+    def count_and_filter(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "jaccard": pd.Series(dtype="float64"),
+                }
+            )
+        g = part.groupby(["id_a", "id_b", "na", "nb"], as_index=False).size()
+        inter = g["size"].to_numpy(dtype=np.float64)
+        union = g["na"].to_numpy() + g["nb"].to_numpy() - inter
+        jac = inter / np.maximum(union, 1.0)
+        g = g.assign(jaccard=jac)
+        g = g[g["jaccard"] >= threshold]
+        return g[["id_a", "id_b", "jaccard"]].astype(
+            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
+        )
+
+    return partitioned_apply(occurrences, ["id_a", "id_b"], count_and_filter)
+
+
 def q_dedup_ngram(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
-    """Exact n-gram Jaccard near-dup pairs (recall 1) — the
-    join-back-shaped twin of ``q_dedup_minhash``; same oracle."""
+    """Exact n-gram Jaccard near-dup pairs (recall 1) via the counted
+    inverted index; same oracle as ``q_dedup_minhash``."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return _round(_to_table(ngram_exact_pairs(ds, threshold)), {"jaccard": 4})
+    return _round(
+        _to_table(ngram_exact_pairs_counted(ds, threshold)), {"jaccard": 4}
+    )
 
 
 Q_DEDUP_NGRAM_SQL = TRUE_PAIRS_SQL

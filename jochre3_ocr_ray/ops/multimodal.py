@@ -176,3 +176,124 @@ FROM documents
 
 
 Q_MEDIA_FEATURES_SQL = _media_features_sql()
+
+
+def resize_image(payload: bytes, fmt: str, width: int, height: int) -> bytes:
+    """Resize an image payload. STUB — no codec libraries in this
+    environment (PIL/opencv plug in here); the Ray-side plumbing
+    (actor signature, batch sizing) is real and tested via the fake
+    format."""
+    raise NotImplementedError(
+        "image codecs are not available in this environment; "
+        "swap in PIL/opencv here"
+    )
+
+
+FRAME_BYTES = 64  # fake-codec frame size
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage: one media row -> N frame rows
+    (the flat_map-shaped explode of the multimodal brief). The real
+    video codec plugs into ``_split_frames``; the fake format defines
+    a frame as a fixed byte chunk, so the plumbing — explode, per-frame
+    ids, small ``batch_size`` for payload memory — is real and
+    oracle-checkable while the codec is stubbed."""
+
+    def __init__(self, every_nth: int = 2, frame_bytes: int = FRAME_BYTES):
+        self.every_nth = every_nth      # temporal subsampling knob
+        self.frame_bytes = frame_bytes  # codec state loads here
+
+    def _split_frames(self, payload: bytes, fmt: str) -> list[bytes]:
+        if fmt != "fake":
+            raise NotImplementedError(
+                "video codecs are not available in this environment"
+            )
+        fb = self.frame_bytes
+        return [payload[i : i + fb] for i in range(0, len(payload), fb)]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        media_ids, frame_idx, frames = [], [], []
+        metas = batch["meta"].to_pylist()
+        for mid, payload, meta in zip(
+            batch["media_id"].to_pylist(), batch["payload"].to_pylist(), metas
+        ):
+            all_frames = self._split_frames(payload, meta["format"])
+            for k in range(0, len(all_frames), self.every_nth):
+                media_ids.append(mid)
+                frame_idx.append(k)
+                frames.append(all_frames[k])
+        return pa.table(
+            {
+                "media_id": pa.array(media_ids, type=pa.int64()),
+                "frame_idx": pa.array(frame_idx, type=pa.int32()),
+                "frame": pa.array(frames, type=pa.binary()),
+            }
+        )
+
+
+def q_media_frames(sf_dir: str) -> pa.Table:
+    """Frame sampling over the synthesized media table: explode every
+    media row into its sampled frames (every 2nd fixed-size chunk of
+    the fake codec), then per-media frame counts + byte totals. The
+    oracle recomputes both from the payload length arithmetic."""
+    media = synthesize_media_dataset(sf_dir)
+    frames = media.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=256,           # small: frame explosion amplifies rows
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def counts(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        lens = pc.binary_length(batch["frame"])
+        t = pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n": pa.array(np.ones(len(batch), dtype=np.int64)),
+                "bytes": pc.cast(lens, pa.int64()),
+            }
+        )
+        return t.group_by("media_id").aggregate([("n", "sum"), ("bytes", "sum")])
+
+    partials = frames.map_batches(counts, batch_format="pyarrow")
+    from .relational import _to_table
+
+    result = (
+        _to_table(partials)
+        .group_by("media_id")
+        .aggregate([("n_sum", "sum"), ("bytes_sum", "sum")])
+        .rename_columns(["media_id", "n_frames", "frame_bytes"])
+    )
+    return result
+
+
+Q_MEDIA_FRAMES_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n_bytes
+  FROM documents
+),
+frames AS (
+  SELECT media_id, n_bytes,
+         CAST(CEIL(n_bytes / {FRAME_BYTES}.0) AS BIGINT) AS total_frames
+  FROM m
+)
+SELECT media_id,
+       -- every 2nd frame: ceil(total/2)
+       CAST(CEIL(total_frames / 2.0) AS BIGINT) AS n_frames,
+       -- sampled frame bytes: full chunks of {FRAME_BYTES} except a
+       -- short tail chunk when the LAST frame index is even (sampled)
+       CAST(
+         CEIL(total_frames / 2.0) * {FRAME_BYTES}
+         - CASE WHEN (total_frames - 1) % 2 = 0
+                THEN ({FRAME_BYTES} - (CASE WHEN n_bytes % {FRAME_BYTES} = 0
+                                            THEN {FRAME_BYTES}
+                                            ELSE n_bytes % {FRAME_BYTES} END))
+                ELSE 0 END
+       AS BIGINT) AS frame_bytes
+FROM frames
+"""

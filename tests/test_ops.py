@@ -443,3 +443,40 @@ class TestRollingFingerprints:
         inter_ab = len(fa & fb) / max(len(fa | fb), 1)
         inter_ac = len(fa & fc) / max(len(fa | fc), 1)
         assert inter_ab > 0.3 > inter_ac
+
+
+class TestFrameSampler:
+    def test_explode_and_edges(self, ray_session):
+        import pyarrow as pa
+
+        from jochre3_ocr_ray.ops.multimodal import FRAME_BYTES, FrameSampler
+
+        sampler = FrameSampler(every_nth=2)
+        payloads = [
+            b"x" * (FRAME_BYTES * 3),       # exact 3 frames -> sample 0,2
+            b"y" * (FRAME_BYTES + 5),       # 2 frames, short tail -> sample 0
+            b"z" * 5,                       # sub-frame payload -> 1 frame
+            b"",                            # empty -> 0 frames
+        ]
+        batch = pa.table(
+            {
+                "media_id": pa.array(range(4), type=pa.int64()),
+                "payload": pa.array(payloads, type=pa.binary()),
+                "meta": pa.array(
+                    [{"media_type": "video", "format": "fake",
+                      "width": 1, "height": 1, "duration_ms": 0}] * 4,
+                ),
+            }
+        )
+        out = sampler(batch).to_pandas()
+        by_media = out.groupby("media_id")["frame_idx"].apply(list).to_dict()
+        assert by_media == {0: [0, 2], 1: [0], 2: [0]}  # 3 absent: empty
+        assert len(out[out.media_id == 2]["frame"].iloc[0]) == 5
+
+    def test_non_fake_format_raises(self):
+        import pytest as _pytest
+
+        from jochre3_ocr_ray.ops.multimodal import FrameSampler
+
+        with _pytest.raises(NotImplementedError):
+            FrameSampler()._split_frames(b"abc", "mp4")
