@@ -156,6 +156,22 @@ def _band_keys(sig: np.ndarray) -> list[bytes]:
     ]
 
 
+def _band_ints(sig: np.ndarray) -> np.ndarray:
+    """int64 PARTITION keys per band (vectorized splitmix combine of
+    the band's minhash values + the band index). Partitioning only —
+    exactness still groups on the full binary band key; an int64
+    collision merely co-locates two buckets."""
+    from ..functions.hashing import _splitmix64
+
+    rows = sig.reshape(_BANDS, _ROWS_PER_BAND).astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = rows[:, 0]
+        for k in range(1, _ROWS_PER_BAND):
+            h = _splitmix64(h * np.uint64(31) + rows[:, k])
+        h = _splitmix64(h ^ np.arange(_BANDS, dtype=np.uint64))
+    return h.astype(np.int64)
+
+
 # ----------------------------------------------------- shared oracle SQL
 def _norm_text_sql(col: str = "text") -> str:
     """SQL replica of ``_norm_tokens``'s normalization: strip, collapse
@@ -262,7 +278,7 @@ def minhash_band_rows(
     ``q_dedup_ngram``."""
 
     def to_bands(batch: pa.Table) -> pa.Table:
-        ids, bands, sh_bytes = [], [], []
+        ids, bands, band_ints, sh_bytes = [], [], [], []
         for doc_id, text in zip(
             batch[id_col].to_pylist(), batch[text_col].to_pylist()
         ):
@@ -271,6 +287,7 @@ def minhash_band_rows(
             keys = _band_keys(sig)
             ids.extend([doc_id] * len(keys))
             bands.extend(keys)
+            band_ints.append(_band_ints(sig))
             if carry_shingles:
                 # binary (raw int64 bytes), not list<int64>: survives
                 # the pandas partition stage losslessly, decodes with
@@ -278,6 +295,11 @@ def minhash_band_rows(
                 sh_bytes.extend([sh.tobytes()] * len(keys))
         cols = {
             "band": pa.array(bands, type=pa.binary()),
+            "band_int": pa.array(
+                np.concatenate(band_ints)
+                if band_ints
+                else np.empty(0, dtype=np.int64)
+            ),
             id_col: pa.array(ids, type=pa.int64()),
         }
         if carry_shingles:
@@ -334,23 +356,7 @@ def minhash_verified_pairs(
     banded = minhash_band_rows(ds, text_col, id_col, carry_shingles=True)
 
     def verify_partition(part: pd.DataFrame) -> pd.DataFrame:
-        part = part[part.duplicated("band", keep=False)]
-        out = []
-        for _, group in part.groupby("band", sort=False):
-            group = group.drop_duplicates(id_col)
-            if len(group) < 2:
-                continue
-            rows = group.sort_values(id_col)
-            ids = rows[id_col].to_numpy()
-            shs = [np.frombuffer(s, dtype=np.int64) for s in rows["shingles"]]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    jac = _jaccard_arrays(shs[i], shs[j])
-                    if jac >= threshold:
-                        out.append((int(ids[i]), int(ids[j]), jac))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
-            {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
-        )
+        return _verify_band_partition(part, threshold, id_col)
 
     verified = partitioned_apply(banded, ["band"], verify_partition)
     if not distributed_dedup:
@@ -358,6 +364,30 @@ def minhash_verified_pairs(
     return partitioned_apply(
         verified, ["id_a", "id_b"],
         lambda part: part.drop_duplicates(["id_a", "id_b"]),
+    )
+
+
+def _verify_band_partition(
+    part: pd.DataFrame, threshold: float, id_col: str = "doc_id"
+) -> pd.DataFrame:
+    """Exact-Jaccard verify over one band partition: bucket-mates only,
+    sorted-array intersections on the carried shingle bytes."""
+    part = part[part.duplicated("band", keep=False)]
+    out = []
+    for _, group in part.groupby("band", sort=False):
+        group = group.drop_duplicates(id_col)
+        if len(group) < 2:
+            continue
+        rows = group.sort_values(id_col)
+        ids = rows[id_col].to_numpy()
+        shs = [np.frombuffer(s, dtype=np.int64) for s in rows["shingles"]]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                jac = _jaccard_arrays(shs[i], shs[j])
+                if jac >= threshold:
+                    out.append((int(ids[i]), int(ids[j]), jac))
+    return pd.DataFrame(out, columns=["id_a", "id_b", "jaccard"]).astype(
+        {"id_a": "int64", "id_b": "int64", "jaccard": "float64"}
     )
 
 
@@ -369,15 +399,51 @@ def q_dedup_minhash(
     Hash-checked against ``TRUE_PAIRS_SQL``: on this corpus every true
     pair has J >= 0.9 where the fixed-seed 16x4-band LSH recall is
     1-(1-j^4)^16 > 1-4e-8, so the verified pairs equal the exact pair
-    set (verified empirically at every sf; deterministic seeds/data)."""
+    set (verified empirically at every sf; deterministic seeds/data).
+
+    Shuffle shape: the band exchange runs on the RAW-TASK ``_exchange``
+    (partition key = vectorized int64 band hash; exactness still
+    groups on the full binary band key inside each partition) — one
+    Dataset ``groupby`` would add its multi-second sort cost for a
+    corpus-sized exchange that tasks do in milliseconds of overhead.
+    The verified pair set is tiny, so multi-band dedup happens on the
+    materialized result."""
+    import ray as _ray
+
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # the verified pair set is tiny (near-dups, not the corpus): dedup
-    # of multi-band discoveries on the materialized result beats a
-    # second Ray shuffle's fixed cost
-    pairs = _to_table(
-        minhash_verified_pairs(ds, threshold, distributed_dedup=False)
-    ).to_pandas()
-    pairs = pairs.drop_duplicates(["id_a", "id_b"]).reset_index(drop=True)
+    banded = minhash_band_rows(ds, carry_shingles=True)
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    num_parts = max(8, min(64, 2 * cpus))
+
+    def verify_tab(t: pa.Table) -> pa.Table:
+        out = _verify_band_partition(t.to_pandas(), threshold)
+        return pa.table(
+            {
+                "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
+                "id_b": pa.array(out["id_b"].to_numpy(dtype=np.int64)),
+                "jaccard": pa.array(out["jaccard"].to_numpy(dtype=np.float64)),
+            }
+        )
+
+    parts = _exchange(banded.to_arrow_refs(), "band_int", num_parts, verify_tab)
+    tables = [t for t in _ray.get(parts) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
+            }
+        )
+    pairs = (
+        pa.concat_tables(tables)
+        .to_pandas()
+        .drop_duplicates(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
     return _round(pa.Table.from_pandas(pairs, preserve_index=False), {"jaccard": 4})
 
 
