@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_anti_urgent": relational.q_customers_anti_urgent,
         "customers_semi_bigorder": relational.q_customers_semi_bigorder,
         "events_quantiles": relational.q_events_quantiles,
+        "sample_documents": relational.q_sample_documents,
+        "top_orders_per_priority": relational.q_top_orders_per_priority,
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -112,6 +114,8 @@ def oracle_sql() -> dict[str, str]:
         "customers_anti_urgent": relational.Q_CUSTOMERS_ANTI_URGENT_SQL,
         "customers_semi_bigorder": relational.Q_CUSTOMERS_SEMI_BIGORDER_SQL,
         "events_quantiles": relational.Q_EVENTS_QUANTILES_SQL,
+        "sample_documents": relational.Q_SAMPLE_DOCUMENTS_SQL,
+        "top_orders_per_priority": relational.Q_TOP_ORDERS_PER_PRIORITY_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.Q_DEDUP_MINHASH_SQL,
         "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,

@@ -831,3 +831,91 @@ SELECT event_type,
 FROM events
 GROUP BY event_type
 """
+
+
+# ------------------------------------------------- deterministic sample
+SAMPLE_RATE_PCT = 25
+
+
+def q_sample_documents(sf_dir: str, rate_pct: int = SAMPLE_RATE_PCT) -> pa.Table:
+    """Deterministic hash sampling — the reproducible train/val-split
+    primitive at corpus scale: keep a row iff the first 8 hex chars of
+    ``md5(doc_id)`` fall under the rate. Row-local (no shuffle, no
+    RNG state), stable under re-runs/resume/repartition, and
+    SQL-replicable — unlike ``Dataset.random_sample``, whose output
+    depends on execution nondeterminism."""
+    import hashlib
+
+    ds = _read(sf_dir, "documents", columns=["doc_id"])
+    threshold = (1 << 32) * rate_pct // 100
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        keep = [
+            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < threshold
+            for i in ids
+        ]
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+
+
+Q_SAMPLE_DOCUMENTS_SQL = f"""
+SELECT doc_id FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < (4294967296 * {SAMPLE_RATE_PCT} / 100)
+"""
+
+
+# ---------------------------------------------------- grouped top-k
+def q_top_orders_per_priority(sf_dir: str, k: int = 3) -> pa.Table:
+    """Top-k WITHIN each group (the window-rank family): groups
+    co-located by hash partition, each ranked with one vectorized
+    sort + head(k) — no global sort; a group's top-k never leaves its
+    partition. Deterministic tiebreak on o_orderkey."""
+    import pandas as pd
+
+    ds = _read(
+        sf_dir, "orders", columns=["o_orderpriority", "o_orderkey", "o_totalprice"]
+    )
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        # per-batch pre-top-k: only k candidates per group per block
+        # survive into the shuffle
+        df = batch.to_pandas()
+        df = df.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        return pa.Table.from_pandas(
+            df.groupby("o_orderpriority", sort=False).head(k),
+            preserve_index=False,
+        )
+
+    pre = ds.map_batches(local_topk, batch_format="pyarrow", batch_size=65536)
+
+    def final_topk(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["o_orderpriority", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        out = part.groupby("o_orderpriority", sort=False).head(k).copy()
+        out["rank"] = out.groupby("o_orderpriority", sort=False).cumcount() + 1
+        return out.astype({"rank": "int64"})
+
+    result = _to_table(partitioned_apply(pre, ["o_orderpriority"], final_topk))
+    return _round(result, {"o_totalprice": 2})
+
+
+Q_TOP_ORDERS_PER_PRIORITY_SQL = """
+SELECT o_orderpriority, o_orderkey,
+       ROUND(o_totalprice, 2) AS o_totalprice,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT o_orderpriority, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders
+)
+WHERE rn <= 3
+"""
