@@ -68,16 +68,32 @@ class _Line:
     end: int = 0
 
 
-def _tokenize_line(line_text: str) -> list[_Word]:
+# --- pluggable token-rule chain (the reference's ordered rule list:
+# YiddishAltoTransformer applies PartialFunction rules in sequence —
+# punctuationSplitRule, reverseNumberRule, ... — over tree nodes; here
+# each rule maps (token_piece, rtl) -> pieces and the chain folds left)
+def punctuation_split_rule(piece: str, rtl: bool) -> list[str]:
+    return split_punctuation(piece)
+
+
+def reverse_number_rule(piece: str, rtl: bool) -> list[str]:
+    return [reverse_digit_runs(piece)] if rtl else [piece]
+
+
+DEFAULT_TOKEN_RULES = (punctuation_split_rule, reverse_number_rule)
+
+
+def _tokenize_line(line_text: str, token_rules=None) -> list[_Word]:
+    rules = DEFAULT_TOKEN_RULES if token_rules is None else token_rules
     rtl = is_rtl_line(line_text)
     words: list[_Word] = []
     for token in line_text.split(" "):
         if not token:
             continue
-        pieces = split_punctuation(token)
+        pieces = [token]
+        for rule in rules:
+            pieces = [p2 for p in pieces for p2 in rule(p, rtl) if p2]
         for k, piece in enumerate(pieces):
-            if rtl:
-                piece = reverse_digit_runs(piece)
             words.append(_Word(text=piece, sep=(k == 0 and bool(words))))
     return words
 
@@ -372,6 +388,7 @@ def extract_turn(
     segmenter=None,
     dehyphenator=None,
     glyph_candidates_fn=None,
+    token_rules=None,
     include_glyphs: bool = True,
     combine_unspaced: bool = False,
     emit_hyphen_element: bool = False,
@@ -395,6 +412,12 @@ def extract_turn(
       default) is the identity classifier, whose beam outcome equals
       the direct lexicon scoring exactly (tests pin it), so the fast
       path skips the beam.
+    * ``token_rules`` — ORDERED rewrite-rule chain applied to every
+      whitespace token (each rule ``(piece, rtl) -> pieces``, folded
+      left) — the AltoTransformer PartialFunction rule-list analog
+      (``YiddishAltoTransformer.scala`` rule registration); default
+      ``DEFAULT_TOKEN_RULES`` = (punctuation split, bidi digit
+      reversal).
     * ``include_glyphs`` — emit the 5th granularity (``Glyph.scala:9``)
       under each word; ``combine_unspaced`` — merge unspaced adjacent
       words (``TextLine.combinedWords``); ``emit_hyphen_element`` —
@@ -416,7 +439,9 @@ def extract_turn(
     n_lines = 0
 
     for bi, sblock in enumerate(seg_blocks):
-        lines = [_Line(words=_tokenize_line(lt)) for lt in sblock.lines]
+        lines = [
+            _Line(words=_tokenize_line(lt, token_rules)) for lt in sblock.lines
+        ]
         if combine_unspaced:
             for l in lines:
                 l.words = combine_unspaced_words(l.words)

@@ -44,6 +44,7 @@ def _apply(
     alternatives_fn=None,
     include_glyphs: bool = False,
     glyph_candidates_fn=None,
+    token_rules=None,
 ) -> pa.Table:
     texts = batch.column("text").to_pylist()
     turn_idxs = batch.column("turn_idx").to_pylist()
@@ -55,6 +56,7 @@ def _apply(
             alternatives_fn,
             include_glyphs=include_blocks and include_glyphs,
             glyph_candidates_fn=glyph_candidates_fn,
+            token_rules=token_rules,
         )
         for text, idx in zip(texts, turn_idxs)
     ]
@@ -108,6 +110,7 @@ class ExtractTurns:
         include_alternatives: bool = False,
         include_glyphs: bool = False,
         glyph_candidates_fn=None,
+        token_rules=None,
     ):
         # once per actor: lexicon load + (module-level) regex compilation
         # + transliteration tables (the GlyphGuesser/Lexicon singleton
@@ -116,6 +119,7 @@ class ExtractTurns:
         self.include_blocks = include_blocks
         self.include_glyphs = include_glyphs
         self.glyph_candidates_fn = glyph_candidates_fn
+        self.token_rules = token_rules
         if include_alternatives:
             from ..functions.alternatives import build_alternatives
             from ..functions.transliterate import Transliterator
@@ -133,6 +137,7 @@ class ExtractTurns:
             self.alternatives_fn,
             include_glyphs=self.include_glyphs,
             glyph_candidates_fn=self.glyph_candidates_fn,
+            token_rules=self.token_rules,
         )
 
 

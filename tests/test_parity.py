@@ -281,3 +281,48 @@ class TestGeometricNodeOps:
                 assert ng["span"]["start"] == og["span"]["start"] + 100
         # originals untouched (pure op)
         assert orig_words[0]["span"]["start"] == 0
+
+
+class TestTokenRuleChain:
+    def test_default_chain_is_identity_of_legacy_behavior(self, lex):
+        from jochre3_ocr_ray.functions.extract import DEFAULT_TOKEN_RULES
+
+        text = "it's 12.5 units (w'w) in ab-\ncd form"
+        a = extract_turn(text, 0, lex)
+        b = extract_turn(text, 0, lex, token_rules=list(DEFAULT_TOKEN_RULES))
+        assert a == b
+
+    def test_custom_rule_appended(self, lex):
+        """A user rule slots into the ordered chain — the
+        AltoTransformer rule-registration surface."""
+        from jochre3_ocr_ray.functions.extract import DEFAULT_TOKEN_RULES
+
+        def censor_rule(piece, rtl):
+            return ["***"] if piece.lower() == "secret" else [piece]
+
+        out = extract_turn(
+            "the secret word",
+            0,
+            lex,
+            token_rules=list(DEFAULT_TOKEN_RULES) + [censor_rule],
+        )
+        assert out["extracted_text"] == "the *** word"
+        # spans still index the REWRITTEN text exactly
+        words = [
+            w for b in out["blocks"] for l in b["lines"] for w in l["words"]
+        ]
+        for w in words:
+            assert (
+                out["extracted_text"][w["span"]["start"] : w["span"]["end"]]
+                == w["text"]
+            )
+
+    def test_rule_can_split_and_drop(self, lex):
+        def dash_split_rule(piece, rtl):
+            return [p for p in piece.split("/") if p]
+
+        out = extract_turn(
+            "either/or neither//nor", 0, lex, token_rules=[dash_split_rule]
+        )
+        assert out["n_words"] == 4
+        assert out["extracted_text"] == "eitheror neithernor"
