@@ -218,28 +218,54 @@ def place_in_containers(
 
     The geometric containment join at the heart of the reference's
     segmentation (``placeRectanglesInTextBlocks``,
-    ``FullYoloSegmenter.scala:581-709``): candidate containers are
-    found by binary search on interval bounds (the reference keeps 4
-    sorted indexes, ``getIntersectingBlocks``/``findLimit``
-    ``FullYoloSegmenter.scala:711-798``); the winner is the container
-    with max percentage-intersection of the child, if above
-    ``threshold``. Unassigned children are dropped (the reference
-    collects them as orphans). Returns ``{container_index: [child, …]}``
-    with children in input order.
+    ``FullYoloSegmenter.scala:581-709``). Candidate selection is the
+    reference's FOUR sorted indexes intersected by binary search
+    (``getIntersectingBlocks``/``findLimit``,
+    ``FullYoloSegmenter.scala:711-798``): containers sorted by
+    top/bottom/left/right; each axis contributes the prefix/suffix
+    whose interval can still intersect the child, short-circuiting as
+    soon as one axis narrows the set to <=1 (as the reference does).
+    The winner is the container with max percentage-intersection of
+    the child, if above ``threshold``. Unassigned children are dropped
+    (the reference collects them as orphans). Returns
+    ``{container_index: [child, …]}`` with children in input order.
     """
     import bisect
 
-    order = sorted(range(len(containers)), key=lambda i: container_rect_of(containers[i]).left)
-    lefts = [container_rect_of(containers[i]).left for i in order]
+    n = len(containers)
+    rects = [container_rect_of(c) for c in containers]
+    by_top = sorted(range(n), key=lambda i: rects[i].top)
+    tops = [rects[i].top for i in by_top]
+    by_bottom = sorted(range(n), key=lambda i: rects[i].bottom)
+    bottoms = [rects[i].bottom for i in by_bottom]
+    by_left = sorted(range(n), key=lambda i: rects[i].left)
+    lefts = [rects[i].left for i in by_left]
+    by_right = sorted(range(n), key=lambda i: rects[i].right)
+    rights = [rects[i].right for i in by_right]
+
+    def candidate_set(crect) -> set[int]:
+        # axis 1: container.top < child.bottom (prefix of by_top)
+        cands = set(by_top[: bisect.bisect_left(tops, crect.bottom)])
+        if len(cands) <= 1:
+            return cands
+        # axis 2: container.bottom > child.top (suffix of by_bottom)
+        cands &= set(by_bottom[bisect.bisect_right(bottoms, crect.top) :])
+        if len(cands) <= 1:
+            return cands
+        # axis 3: container.left < child.right (prefix of by_left)
+        cands &= set(by_left[: bisect.bisect_left(lefts, crect.right)])
+        if len(cands) <= 1:
+            return cands
+        # axis 4: container.right > child.left (suffix of by_right)
+        cands &= set(by_right[bisect.bisect_right(rights, crect.left) :])
+        return cands
+
     assigned: dict[int, list] = {}
     for child in children:
         crect = rect_of(child)
-        # candidates: containers whose left edge is left of the child's
-        # right edge (binary search), then filtered by real intersection
-        hi = bisect.bisect_right(lefts, crect.right)
         best_idx, best_pct = -1, threshold
-        for oi in order[:hi]:
-            pct = crect.percentage_intersection(container_rect_of(containers[oi]))
+        for oi in sorted(candidate_set(crect)):
+            pct = crect.percentage_intersection(rects[oi])
             if pct > best_pct:
                 best_idx, best_pct = oi, pct
         if best_idx >= 0:

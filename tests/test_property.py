@@ -76,3 +76,51 @@ def test_plain_text_fixed_point(lines):
     first = extract_turn(text, 0, _LEX)["extracted_text"]
     second = extract_turn(first, 0, _LEX)["extracted_text"]
     assert second == first
+
+
+class TestExtractTurnFuzz:
+    """Property fuzz over the full extraction kernel: the span/count
+    invariants must hold for ARBITRARY payloads (markup-ish, unicode,
+    whitespace soup) — the contract every downstream stage relies on."""
+
+    @given(
+        st.text(
+            alphabet=st.sampled_from(
+                list("abcXYZ019 .,-'\n\t<>/\"=pdivbr") + ["א", "é", "​"]
+            ),
+            max_size=400,
+        )
+    )
+    @settings(max_examples=150, deadline=None)
+    def test_invariants_hold_for_any_payload(self, text):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.lexicon import Lexicon
+
+        lex = Lexicon.load()
+        out = extract_turn(text, 7, lex)
+        et = out["extracted_text"]
+        n_words = n_lines = n_glyphs = 0
+        for block in out["blocks"]:
+            b_span = block["span"]
+            assert 0 <= b_span["start"] <= b_span["end"] <= len(et)
+            for line in block["lines"]:
+                n_lines += 1
+                l_span = line["span"]
+                assert b_span["start"] <= l_span["start"] <= l_span["end"] <= b_span["end"]
+                for w in line["words"]:
+                    n_words += 1
+                    s = w["span"]
+                    # THE span contract: every span indexes extracted_text
+                    assert et[s["start"] : s["end"]] == w["text"], (text, w)
+                    assert 0.0 < w["confidence"] <= 1.0
+                    for g in w["glyphs"]:
+                        n_glyphs += len(g["text"]) and 1
+                        gs = g["span"]
+                        assert et[gs["start"] : gs["end"]] == g["text"]
+        assert n_words == out["n_words"]
+        assert n_lines == out["n_lines"]
+        assert out["n_blocks"] == len(out["blocks"])
+        assert 0.0 < out["confidence"] <= 1.0
+        assert out["skew"] >= 0.0
+        # processed text never contains the line-break artifacts
+        assert "\r" not in out["processed_text"]
