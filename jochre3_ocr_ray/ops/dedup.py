@@ -851,14 +851,28 @@ Q_DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
 EMBED_THRESHOLD = 0.9
 
 
+EMBED_EXACT_MAX_ROWS = 1_000_000
+
+
 def q_embedding_near_dup(
-    sf_dir: str, threshold: float = EMBED_THRESHOLD
+    sf_dir: str,
+    threshold: float = EMBED_THRESHOLD,
+    max_rows: int = EMBED_EXACT_MAX_ROWS,
 ) -> pa.Table:
     """Exact cosine near-dup pairs via blocked matmul vs a broadcast
-    matrix — the oracle-checkable BASELINE, deliberately capped to
-    test scale (O(N²) and a full-matrix broadcast; the LSH variant
-    below is the scale path and is checked against this twin)."""
+    matrix — the oracle-checkable BASELINE, HARD-capped to test scale
+    (O(N²) compute and a full-matrix broadcast): beyond ``max_rows``
+    it refuses and names the scale path rather than silently OOMing
+    the driver. ``embedding_lsh_pairs`` is the production variant and
+    is accuracy-checked against this twin."""
     ds = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n = ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"q_embedding_near_dup is the O(N^2) oracle baseline, capped "
+            f"at {max_rows} vectors (got {n}); use embedding_lsh_pairs "
+            f"for corpus-scale near-dup detection"
+        )
     all_df = ds.to_pandas()
     ids = all_df["vec_id"].to_numpy()
     mat = np.stack(all_df["embedding"].to_numpy()).astype(np.float64)
