@@ -34,8 +34,15 @@ QUERY_NAMES = [
     "events_sliding",
     "ann_cosine_topk",
     "token_count",
+    "token_count_bpe",
     "quality_score",
     "fingerprint",
+    "events_asof",
+    "events_quantiles",
+    "customers_semi_bigorder",
+    # glyph_stats excluded: the opt-in glyph granularity is a
+    # correctness surface (oracle-checked by the driver), not a perf
+    # path - its nested per-char structs cost ~8ms/turn by design
 ]
 
 
