@@ -34,9 +34,24 @@ _ROLES = ["user", "assistant", "tool", "system"]
 
 
 def derive_transcripts(sf_dir: str) -> "ray.data.Dataset":
-    """documents -> transcript-shaped Dataset (input_hint schema)."""
+    """documents -> transcript-shaped Dataset (input_hint schema).
+
+    ``override_num_blocks``: a single parquet file otherwise becomes
+    ONE block and every downstream ``map_batches`` runs as ONE task —
+    ``batch_size`` splits compute batches, not scheduling units
+    (measured: serial extraction at sf0.1 cost ~14 s vs ~3 s split)."""
+    import ray as _ray
+
+    try:
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    # measured at sf0.1/32cpu: 1 block 5.1s, 8 blocks 3.5s, 32 blocks
+    # 3.8s (per-task overhead) — grow with cluster size but modestly
     docs = ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(8, cpus // 4),
     )
 
     def to_turns(batch: pa.Table) -> pa.Table:
@@ -100,15 +115,25 @@ FROM t
 
 def q_assemble_conversations(sf_dir: str) -> pa.Table:
     """Conversation documents: the groupby(conv_id) + turn_idx-sort
-    shuffle, oracle-checked via STRING_AGG(... ORDER BY turn_idx)."""
+    shuffle, oracle-checked via STRING_AGG(... ORDER BY turn_idx).
+
+    Runs on the raw-task EXCHANGE assembly tier (one all-to-all over
+    conv-hash partitions, vectorized per-partition assembly) — the
+    salted two-phase and global-sort Dataset strategies produce
+    identical output (equality test-pinned) but each pay multi-second
+    Dataset-shuffle fixed costs."""
+    from ..stages.assemble import assemble_conversations_exchange
+
     turns = derive_transcripts(sf_dir)
     extracted = build_extraction(turns, include_blocks=False)
-    convs = assemble_conversations(extracted)
-    out = convs.select_columns(
-        ["conv_id", "n_turns", "n_words", "conversation_text",
-         "processed_conversation_text"]
+    convs = assemble_conversations_exchange(extracted)
+    return pa.Table.from_pandas(
+        convs[
+            ["conv_id", "n_turns", "n_words", "conversation_text",
+             "processed_conversation_text"]
+        ],
+        preserve_index=False,
     )
-    return out
 
 
 def q_glyph_stats(sf_dir: str) -> pa.Table:

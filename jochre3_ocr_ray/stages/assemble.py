@@ -234,3 +234,63 @@ def assemble_conversations_sorted(
     return partials.groupby("_part").map_groups(
         lambda g: _phase2(g.drop(columns=["_part"])), batch_format="pandas"
     )
+
+
+def assemble_conversations_exchange(
+    extracted: "ray.data.Dataset", num_parts: int | None = None
+) -> "pd.DataFrame":
+    """Raw-task-exchange assembly: ONE all-to-all over conv-hash
+    partitions (``ops.dedup._exchange`` — hash-split each Arrow block,
+    one combiner task per partition), each partition assembled with
+    the same vectorized ``assemble_bucket_table`` the bucketed
+    strategy uses. Identical output to ``assemble_conversations`` /
+    ``assemble_conversations_sorted`` (equality test-pinned); skips
+    the Dataset groupby's multi-second sort cost twice over — the
+    right tier when assembly runs in-memory rather than folded into a
+    partitioned write. Returns the assembled table (pandas)."""
+    import pyarrow as pa
+
+    import ray
+
+    from ..functions.hashing import crc_bucket
+    from ..ops.dedup import _exchange
+
+    if num_parts is None:
+        try:
+            num_parts = max(8, min(64, int(ray.cluster_resources().get("CPU", 8))))
+        except Exception:  # noqa: BLE001
+            num_parts = 8
+
+    projected = extracted.select_columns(_PROJECT_COLS)
+
+    def add_key(batch: "pa.Table") -> "pa.Table":
+        return batch.append_column(
+            "_k",
+            pa.array(
+                crc_bucket(batch["conv_id"].to_pylist(), 1 << 30).astype("int64")
+            ),
+        )
+
+    keyed = projected.map_batches(add_key, batch_format="pyarrow")
+
+    def combine(t: "pa.Table") -> "pa.Table":
+        df = t.drop_columns(["_k"]).to_pandas()
+        if df.empty:
+            return pa.table(
+                {
+                    "conv_id": pa.array([], type=pa.string()),
+                    "n_turns": pa.array([], type=pa.int64()),
+                    "n_words": pa.array([], type=pa.int64()),
+                    "conversation_text": pa.array([], type=pa.string()),
+                    "processed_conversation_text": pa.array([], type=pa.string()),
+                    "confidence": pa.array([], type=pa.float64()),
+                }
+            )
+        out = assemble_bucket_table(df)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    parts = _exchange(keyed.to_arrow_refs(), "_k", num_parts, combine)
+    tables = [t for t in ray.get(parts) if t.num_rows]
+    if not tables:
+        return pa.table({}).to_pandas()
+    return pa.concat_tables(tables, promote_options="default").to_pandas()

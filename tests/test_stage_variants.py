@@ -63,3 +63,39 @@ class TestAlternativesPath:
                             assert alt["content"]
                             n_alts += 1
         assert n_alts > 0  # corpus has capitalized/RTL words
+
+
+class TestExchangeAssemblyEquality:
+    def test_exchange_matches_salted(self, ray_session, small_corpus):
+        """The raw-exchange assembly tier produces IDENTICAL
+        conversations to the salted two-phase Dataset strategy."""
+        import pandas as pd
+
+        import ray.data
+
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+        from jochre3_ocr_ray.sources.reader import read_transcripts
+        from jochre3_ocr_ray.stages.assemble import (
+            assemble_conversations,
+            assemble_conversations_exchange,
+        )
+
+        extracted = build_extraction(
+            read_transcripts(small_corpus), include_blocks=False
+        )
+        cols = ["conv_id", "n_turns", "n_words", "conversation_text",
+                "processed_conversation_text", "confidence"]
+        salted = (
+            assemble_conversations(extracted)
+            .to_pandas()[cols]
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        exchange = (
+            assemble_conversations_exchange(extracted)[cols]
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            salted.astype({"n_turns": "int64"}), exchange, check_dtype=False
+        )
