@@ -1041,7 +1041,15 @@ def connected_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
 
 @ray.remote
 def _split_by_key(table: pa.Table, key: str, num_parts: int) -> list[pa.Table]:
-    """Hash-split one Arrow block into ``num_parts`` sub-tables."""
+    """Hash-split one Arrow block into ``num_parts`` sub-tables.
+    Empty/schema-less blocks (map_batches passes empty input blocks
+    through untagged) fan out as empty slices."""
+    if table.num_rows == 0 or key not in table.column_names:
+        # DISTINCT objects per return slot: returning the same Python
+        # object from every num_returns slot makes Ray inline duplicate
+        # ObjectIDs into downstream task args, which trips a
+        # reference-counting check (core crash observed on Ray 2.49)
+        return [table.slice(0, 0) for _ in range(num_parts)]
     h = (table[key].to_numpy() % num_parts).astype(np.int64)
     order = np.argsort(h, kind="stable")
     sorted_t = table.take(order)
@@ -1058,8 +1066,11 @@ def _combine_parts(fn, *tables: pa.Table) -> pa.Table:
     live = [t for t in tables if t.num_rows]
     if not live:
         # run fn on an empty input so the OUTPUT schema is still fn's
-        # (an empty partition must not leak the input schema downstream)
-        return fn(tables[0].slice(0, 0))
+        # (an empty partition must not leak the input schema
+        # downstream); prefer a schema-carrying donor over the
+        # schema-less empties map_batches can pass through
+        donor = next((t for t in tables if t.num_columns), tables[0])
+        return fn(donor.slice(0, 0))
     return fn(pa.concat_tables(live, promote_options="default"))
 
 

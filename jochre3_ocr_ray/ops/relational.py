@@ -613,13 +613,14 @@ def q_events_asof(sf_dir: str) -> pa.Table:
     by the same user at-or-before it.
 
     Shape: both filtered sides are tagged and hash-partitioned on
-    ``user_id`` (one shuffle, no broadcast — either side may be huge);
-    inside each partition a single vectorized ``pandas.merge_asof``
-    (sorted by ts, ``by=user_id``) does the backward match for every
-    user in the partition at C speed. Partitioning assumption: a
-    user's full history fits one partition — salt by coarse time
-    range and stitch boundaries for pathological single-user volumes.
-    Oracle: DuckDB ``ASOF JOIN``."""
+    ``user_id`` via the raw-task EXCHANGE (one all-to-all, no
+    broadcast, no Dataset-groupby sort cost — either side may be
+    huge); inside each partition a single vectorized
+    ``pandas.merge_asof`` (sorted by ts, ``by=user_id``) does the
+    backward match for every user in the partition at C speed.
+    Partitioning assumption: a user's full history fits one partition
+    — salt by coarse time range and stitch boundaries for
+    pathological single-user volumes. Oracle: DuckDB ``ASOF JOIN``."""
     import numpy as np
     import pandas as pd
 
@@ -656,11 +657,21 @@ def q_events_asof(sf_dir: str) -> pa.Table:
             }
         )
 
-    both = errors.map_batches(tag_left, batch_format="pyarrow").union(
-        purchases.map_batches(tag_right, batch_format="pyarrow")
-    )
+    tagged_left = errors.map_batches(tag_left, batch_format="pyarrow")
+    tagged_right = purchases.map_batches(tag_right, batch_format="pyarrow")
+
+    _EMPTY_ASOF = {
+        "event_id": "int64",
+        "user_id": "int64",
+        "purchase_value": "float64",
+        "gap_sec": "int64",
+    }
 
     def asof_partition(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty or "side" not in part.columns:
+            return pd.DataFrame(
+                {c: pd.Series(dtype=d) for c, d in _EMPTY_ASOF.items()}
+            )
         left = part[part["side"] == "L"].sort_values("ts", kind="mergesort")
         right = part[part["side"] == "R"].sort_values("ts", kind="mergesort")
         if left.empty or right.empty:
@@ -696,8 +707,36 @@ def q_events_asof(sf_dir: str) -> pa.Table:
             }
         )
 
-    out = partitioned_apply(both, ["user_id"], asof_partition)
-    return _round(_to_table(out), {"purchase_value": 4})
+    from .dedup import _exchange
+
+    def combine(t: pa.Table) -> pa.Table:
+        out = asof_partition(t.to_pandas())
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    parts = _exchange(
+        tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs(),
+        "user_id",
+        max(8, min(64, cpus)),
+        combine,
+    )
+    tables = [t for t in ray.get(parts) if t.num_rows]
+    if not tables:
+        return pa.table(
+            {
+                "event_id": pa.array([], type=pa.int64()),
+                "user_id": pa.array([], type=pa.int64()),
+                "purchase_value": pa.array([], type=pa.float64()),
+                "gap_sec": pa.array([], type=pa.int64()),
+            }
+        )
+    return _round(
+        pa.concat_tables(tables, promote_options="default"),
+        {"purchase_value": 4},
+    )
 
 
 Q_EVENTS_ASOF_SQL = """
