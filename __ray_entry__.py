@@ -57,6 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": relational.q_events_quantiles,
         "sample_documents": relational.q_sample_documents,
         "top_orders_per_priority": relational.q_top_orders_per_priority,
+        "events_corr": relational.q_events_corr,
+        "events_pivot": relational.q_events_pivot,
         # dedup family (§2.7 + training-data ops)
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
@@ -116,6 +118,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": relational.Q_EVENTS_QUANTILES_SQL,
         "sample_documents": relational.Q_SAMPLE_DOCUMENTS_SQL,
         "top_orders_per_priority": relational.Q_TOP_ORDERS_PER_PRIORITY_SQL,
+        "events_corr": relational.Q_EVENTS_CORR_SQL,
+        "events_pivot": relational.Q_EVENTS_PIVOT_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.Q_DEDUP_MINHASH_SQL,
         "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,

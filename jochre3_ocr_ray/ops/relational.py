@@ -970,3 +970,93 @@ FROM (
 )
 WHERE rn <= 3
 """
+
+
+# ----------------------------------------------------- grouped correlation
+def q_events_corr(sf_dir: str) -> pa.Table:
+    """Grouped Pearson correlation of event value vs time-of-corpus
+    (seconds since 2024-01-01) — the algebraic-aggregate family beyond
+    sums. Naive distributed moment sums (n*Sxy - Sx*Sy ...) would lose
+    ~10 significant digits to cancellation at epoch magnitudes, so
+    groups are CO-LOCATED by hash partition and each computed with the
+    numerically stable pairwise ``np.corrcoef`` — matching DuckDB's
+    running-covariance CORR to ~1e-12 (rounded to 6)."""
+    import numpy as np
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def corr(part: pd.DataFrame) -> pd.DataFrame:
+        base = np.datetime64("2024-01-01", "s")
+        out = {"event_type": [], "value_time_corr": [], "n": []}
+        for etype, g in part.groupby("event_type", sort=False):
+            secs = (
+                g["ts"].to_numpy().astype("datetime64[s]") - base
+            ).astype(np.float64)
+            vals = g["value"].to_numpy(dtype=np.float64)
+            out["event_type"].append(etype)
+            out["value_time_corr"].append(float(np.corrcoef(vals, secs)[0, 1]))
+            out["n"].append(len(g))
+        return pd.DataFrame(out).astype({"n": "int64"})
+
+    result = _to_table(partitioned_apply(events, ["event_type"], corr))
+    return _round(result, {"value_time_corr": 6})
+
+
+Q_EVENTS_CORR_SQL = """
+SELECT event_type,
+       ROUND(CORR(value, date_diff('second', TIMESTAMP '2024-01-01', ts)), 6)
+         AS value_time_corr,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ----------------------------------------------------------------- pivot
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_events_pivot(sf_dir: str) -> pa.Table:
+    """Daily event counts PIVOTED wide (one column per event type) —
+    the wide-aggregation shape: per-batch (day, type) combiner rollup
+    (the shuffle moves partial counts only), then a tiny driver-side
+    pivot over the bounded (days x types) domain."""
+    events = _read(sf_dir, "events", columns=["event_type", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.strftime(pc.floor_temporal(batch["ts"], unit="day"), format="%Y-%m-%d")
+        t = pa.table({"day": day, "event_type": batch["event_type"]})
+        return t.group_by(["day", "event_type"]).aggregate([("day", "count")])
+
+    partials = _to_table(
+        events.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    )
+    df = (
+        partials.group_by(["day", "event_type"])
+        .aggregate([("day_count", "sum")])
+        .to_pandas()
+    )
+    wide = df.pivot_table(
+        index="day", columns="event_type", values="day_count_sum",
+        aggfunc="sum", fill_value=0,
+    ).reset_index()
+    for t in _PIVOT_TYPES:
+        if t not in wide.columns:
+            wide[t] = 0
+        wide[f"n_{t}"] = wide[t].astype("int64")
+    return pa.Table.from_pandas(
+        wide[["day"] + [f"n_{t}" for t in _PIVOT_TYPES]], preserve_index=False
+    )
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT STRFTIME(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events
+GROUP BY day
+"""
