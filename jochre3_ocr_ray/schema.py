@@ -109,4 +109,19 @@ CONVERSATION_SCHEMA = pa.schema(
     ]
 )
 
-PIPELINE_VERSION = "jochre3-ocr-ray/0.1.0"
+# Bump on ANY output-schema or extraction-semantics change: lineage
+# resume (state/lineage.py) skips shards only when the committed
+# manifest's version AND schema fingerprint both match, so a stale
+# bump would let a resumed run mix old- and new-schema shards.
+# 0.2.0: added top-level `skew` column; WORD_TYPE gained `kind` and
+# `glyphs` (round-2 additions that shipped without a bump — ADVICE r2).
+PIPELINE_VERSION = "jochre3-ocr-ray/0.2.0"
+
+
+def schema_fingerprint(schema: pa.Schema = EXTRACTION_SCHEMA) -> str:
+    """Stable content hash of an output schema — belt-and-braces next
+    to PIPELINE_VERSION in shard manifests, so a forgotten version bump
+    cannot silently accept old-schema shards on resume."""
+    import hashlib
+
+    return hashlib.md5(str(schema).encode("utf-8")).hexdigest()[:16]

@@ -18,7 +18,7 @@ import shutil
 import time
 from pathlib import Path
 
-from ..schema import PIPELINE_VERSION
+from ..schema import PIPELINE_VERSION, schema_fingerprint
 
 LINEAGE_DIR = "_lineage"
 
@@ -40,9 +40,16 @@ class LineageLog:
             manifest = json.loads(p.read_text())
         except json.JSONDecodeError:
             return False
+        # version AND schema fingerprint must both match: the
+        # fingerprint catches schema changes that shipped without a
+        # version bump (ADVICE r2 — round 2 added skew/kind/glyphs
+        # under an unchanged version, so resume accepted mixed-schema
+        # shards). Manifests written before the fingerprint existed
+        # fail the check and are recomputed — correct, not wasteful.
         return (
             manifest.get("status") == "complete"
             and manifest.get("pipeline_version") == PIPELINE_VERSION
+            and manifest.get("schema_fingerprint") == schema_fingerprint()
         )
 
     def shard_output_dir(self, shard_id: str) -> Path:
@@ -79,6 +86,7 @@ class LineageLog:
             "rows_out": rows_out,
             "wall_sec": round(wall_sec, 3),
             "pipeline_version": PIPELINE_VERSION,
+            "schema_fingerprint": schema_fingerprint(),
             "completed_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
             "metrics": metrics or {},
         }
