@@ -206,6 +206,12 @@ sh AS (
     FROM toks
   )
   WHERE nxt IS NOT NULL
+  UNION
+  -- k<n fallback (mirrors _shingle_array): a non-empty doc with fewer
+  -- than 2 tokens contributes its whole normalized text as ONE
+  -- shingle; empty docs contribute none on either side (ADVICE r2)
+  SELECT doc_id, t AS shingle FROM norm
+  WHERE t <> '' AND NOT contains(t, ' ')
 ),
 sh_counts AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
 sh_inter AS (
@@ -735,10 +741,14 @@ def _md5_token_hash(tok: str) -> int:
     return h
 
 
-def _simhash(text: str) -> int:
+def _simhash(text: str) -> "int | None":
+    """64-bit SimHash signature; ``None`` for token-less docs — empty
+    docs are EXCLUDED from simhash pairing on both the Ray and SQL
+    sides (previously Python signed them 0, pairing all empties at
+    Hamming 0 while the oracle dropped them — ADVICE r2)."""
     tokens = _norm_tokens(text)
     if not tokens:
-        return 0
+        return None
     hs = np.fromiter(
         (_md5_token_hash(t) for t in tokens), dtype=np.uint64, count=len(tokens)
     )
@@ -773,6 +783,8 @@ def q_dedup_simhash(
         sigs = [_simhash(t) for t in batch["text"].to_pylist()]
         rows = {"doc_id": [], "segment": [], "sig": []}
         for doc_id, sig in zip(batch["doc_id"].to_pylist(), sigs):
+            if sig is None:  # token-less doc: excluded from pairing
+                continue
             for seg in range(4):
                 rows["doc_id"].append(doc_id)
                 rows["segment"].append(f"{seg}:{(sig >> (seg * 16)) & 0xFFFF}")
@@ -826,7 +838,9 @@ WITH norm AS (
   SELECT doc_id, {_norm_text_sql()} AS t FROM documents
 ),
 toks AS (
+  -- t <> '' mirrors the Ray side's exclusion of token-less docs
   SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM norm
+  WHERE t <> ''
 ),
 tokhash AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h FROM toks

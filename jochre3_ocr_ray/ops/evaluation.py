@@ -138,7 +138,9 @@ def run_evaluation(
     )
 
     pred_files = sorted(_glob.glob(f"{predicted_dir}/**/*.parquet", recursive=True))
-    predicted = ray.data.read_parquet(
+    from ..sources.reader import read_parquet_clean
+
+    predicted = read_parquet_clean(
         pred_files, columns=["conv_id", "turn_idx", predicted_col]
     )
 

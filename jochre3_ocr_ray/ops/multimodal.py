@@ -96,7 +96,9 @@ class MediaFeatureExtractor:
 def synthesize_media_dataset(sf_dir: str) -> "ray.data.Dataset":
     """Deterministic fake media table derived from documents: payload =
     utf-8 bytes of the text, metadata from its length."""
-    ds = ray.data.read_parquet(
+    from ..sources.reader import read_parquet_clean
+
+    ds = read_parquet_clean(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
 
@@ -278,9 +280,12 @@ WITH m AS (
   FROM documents
 ),
 frames AS (
+  -- empty payloads produce no frame rows on the Ray side (flat_map
+  -- explodes zero frames), so drop them here too (ADVICE r2)
   SELECT media_id, n_bytes,
          CAST(CEIL(n_bytes / {FRAME_BYTES}.0) AS BIGINT) AS total_frames
   FROM m
+  WHERE n_bytes > 0
 )
 SELECT media_id,
        -- every 2nd frame: ceil(total/2)

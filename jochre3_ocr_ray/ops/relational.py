@@ -24,6 +24,8 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
+from ..sources.reader import read_parquet_clean
+
 
 def _read(sf_dir: str, table: str, columns: list[str] | None = None):
     """Pruned parquet read, split into parallel blocks: a SINGLE
@@ -34,7 +36,7 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
-    return ray.data.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/{table}.parquet",
         columns=columns,
         override_num_blocks=max(8, cpus // 4),
@@ -340,7 +342,7 @@ FROM events
 # ---------------------------------------------------- filter + projection
 def q_orders_filter(sf_dir: str) -> pa.Table:
     """Predicate + projection pushed to the read; row-level output."""
-    ds = ray.data.read_parquet(
+    ds = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"],
         filter=(pc.field("o_totalprice") > 400000.0),
@@ -399,12 +401,12 @@ LIMIT 10
 def q_event_union(sf_dir: str) -> pa.Table:
     """Union of two filtered event views (``Dataset.union`` — the
     block-list concatenation analog, ``FullYoloSegmenter.scala:557-561``)."""
-    big_purchases = ray.data.read_parquet(
+    big_purchases = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value"],
         filter=(pc.field("event_type") == "purchase") & (pc.field("value") > 90.0),
     )
-    errors = ray.data.read_parquet(
+    errors = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "event_type", "value"],
         filter=(pc.field("event_type") == "error"),
@@ -624,12 +626,12 @@ def q_events_asof(sf_dir: str) -> pa.Table:
     import numpy as np
     import pandas as pd
 
-    errors = ray.data.read_parquet(
+    errors = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["event_id", "user_id", "ts", "event_type"],
         filter=(pc.field("event_type") == "error"),
     )
-    purchases = ray.data.read_parquet(
+    purchases = read_parquet_clean(
         f"{sf_dir}/events.parquet",
         columns=["user_id", "ts", "value", "event_type"],
         filter=(pc.field("event_type") == "purchase"),
@@ -751,7 +753,7 @@ ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
 
 # ------------------------------------------------------- anti / semi join
 def _order_flags(sf_dir: str, predicate) -> "ray.data.Dataset":
-    orders = ray.data.read_parquet(
+    orders = read_parquet_clean(
         f"{sf_dir}/orders.parquet",
         columns=["o_custkey", "o_orderpriority", "o_totalprice"],
         filter=predicate,

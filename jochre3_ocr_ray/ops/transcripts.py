@@ -48,7 +48,9 @@ def derive_transcripts(sf_dir: str) -> "ray.data.Dataset":
         cpus = 8
     # measured at sf0.1/32cpu: 1 block 5.1s, 8 blocks 3.5s, 32 blocks
     # 3.8s (per-task overhead) — grow with cluster size but modestly
-    docs = ray.data.read_parquet(
+    from ..sources.reader import read_parquet_clean
+
+    docs = read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=max(8, cpus // 4),

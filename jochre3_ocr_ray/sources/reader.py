@@ -14,6 +14,40 @@ from pathlib import Path
 import ray.data
 
 
+def clean_parquet_schema(path: str, columns: "list[str] | None" = None):
+    """Footer-only schema read with ALL metadata stripped.
+
+    Parquet written by pandas carries a ``b'pandas'`` schema-metadata
+    blob; a ``pa.Schema`` with metadata is unhashable, which silently
+    disables Ray Data's schema deduplication in every downstream
+    batcher/concat ("Failed to hash the schemas" warning) and forces
+    the expensive unify path on every block combine. Passing the
+    stripped schema to ``read_parquet`` makes all read blocks
+    metadata-free (measured: warning gone, schema dedup active)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = pq.read_schema(path)
+    names = columns if columns is not None else fs.names
+    return pa.schema([pa.field(n, fs.field(n).type) for n in names])
+
+
+def read_parquet_clean(
+    paths: "str | list[str]",
+    *,
+    columns: "list[str] | None" = None,
+    **kwargs,
+) -> "ray.data.Dataset":
+    """``ray.data.read_parquet`` with a metadata-stripped schema (see
+    ``clean_parquet_schema``). ``paths`` may be one file or a list of
+    same-schema files (schema taken from the first)."""
+    first = paths[0] if isinstance(paths, (list, tuple)) else paths
+    schema = clean_parquet_schema(str(first), columns)
+    return ray.data.read_parquet(
+        paths, columns=columns, schema=schema, **kwargs
+    )
+
+
 def read_transcripts(
     input_dir: str | Path,
     *,
@@ -28,7 +62,7 @@ def read_transcripts(
     )
     if not files:
         raise FileNotFoundError(f"no files matching {pattern!r} under {input_dir}")
-    ds = ray.data.read_parquet(files, columns=columns)
+    ds = read_parquet_clean(files, columns=columns)
     if limit is not None:
         ds = ds.limit(limit)
     return ds

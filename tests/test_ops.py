@@ -95,6 +95,86 @@ class TestDedupKernels:
         assert ngram_jaccard("a b", "c d") == 0.0
 
 
+class TestDegenerateDocsOracleAlignment:
+    """Empty / single-token / identical-short docs must produce the
+    SAME pair sets from the Ray pipelines and their DuckDB oracles
+    (ADVICE r2: the kernels previously disagreed on k<n fallback
+    shingles and empty-doc simhash signatures)."""
+
+    def _write_corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        texts = [
+            "",                    # 0: empty
+            "   ",                 # 1: whitespace-only -> token-less
+            "hello",               # 2: single token
+            "hello",               # 3: identical single token (pairs w/ 2)
+            "solo",                # 4: single token, unique
+            "alpha beta gamma delta epsilon",   # 5
+            "alpha beta gamma delta epsilon",   # 6: exact dup of 5
+            "alpha beta gamma delta zeta",      # 7: near-dup of 5/6
+            "completely different content here now",  # 8
+        ]
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        return sf
+
+    def _oracle(self, sf, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        return con.execute(sql).df()
+
+    def test_minhash_matches_oracle(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import TRUE_PAIRS_SQL, q_dedup_minhash
+
+        sf = self._write_corpus(tmp_path)
+        got = q_dedup_minhash(str(sf)).to_pandas()
+        want = self._oracle(sf, TRUE_PAIRS_SQL)
+        got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+        want_pairs = {(int(a), int(b)) for a, b in zip(want.id_a, want.id_b)}
+        assert got_pairs == want_pairs
+        # the single-token twins and the multi-token dups must be found
+        assert (2, 3) in got_pairs and (5, 6) in got_pairs
+        # empty / whitespace docs pair with nothing
+        assert not any(0 in p or 1 in p for p in got_pairs)
+
+    def test_ngram_matches_oracle(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import Q_DEDUP_NGRAM_SQL, q_dedup_ngram
+
+        sf = self._write_corpus(tmp_path)
+        got = q_dedup_ngram(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_DEDUP_NGRAM_SQL)
+        got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+        want_pairs = {(int(a), int(b)) for a, b in zip(want.id_a, want.id_b)}
+        assert got_pairs == want_pairs
+
+    def test_simhash_matches_oracle(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import (
+            Q_DEDUP_SIMHASH_SQL,
+            q_dedup_simhash,
+        )
+
+        sf = self._write_corpus(tmp_path)
+        got = q_dedup_simhash(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_DEDUP_SIMHASH_SQL)
+        got_pairs = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+        want_pairs = {(int(a), int(b)) for a, b in zip(want.id_a, want.id_b)}
+        assert got_pairs == want_pairs
+        # empty docs no longer pair with each other at hamming 0
+        assert not any(0 in p or 1 in p for p in got_pairs)
+
+
 class TestMinhashPipeline:
     def test_finds_planted_near_dups(self, ray_session, tmp_path):
         """Plant near-duplicate pairs in a corpus; the LSH pipeline must
@@ -359,9 +439,16 @@ class TestAntiSemiJoin:
         assert len(anti) == total - with_urgent
         semi = q_customers_semi_bigorder(sf).to_pandas()
         assert 0 < len(semi) < total
-        assert not set(anti["c_custkey"]) & set(
-            q_customers_semi_bigorder(sf).to_pandas()["c_custkey"]
-        ) or True  # anti(urgent) and semi(bigorder) may overlap - different predicates
+        # complement property on the SAME predicate: anti ∪ semi must
+        # partition the customer set exactly (disjoint, exhaustive)
+        from jochre3_ocr_ray.ops.relational import _anti_semi
+        import pyarrow.compute as pc
+
+        pred = pc.field("o_orderpriority") == "1-URGENT"
+        anti_u = set(_anti_semi(sf, pred, keep_matched=False)["c_custkey"].to_pylist())
+        semi_u = set(_anti_semi(sf, pred, keep_matched=True)["c_custkey"].to_pylist())
+        assert not anti_u & semi_u
+        assert len(anti_u) + len(semi_u) == total
 
 
 class TestDistributedComponents:
