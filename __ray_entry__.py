@@ -29,6 +29,12 @@ def _curate():
     return curate
 
 
+def _corpus_prep():
+    from jochre3_ocr_ray.pipelines import corpus_prep
+
+    return corpus_prep
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2)."""
     from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
@@ -79,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
+        # training-side corpus prep (corpus/learning analogs)
+        "corpus_alphabet": _corpus_prep().q_corpus_alphabet,
+        "training_line_examples": _corpus_prep().q_training_line_examples,
+        "training_word_examples": _corpus_prep().q_training_word_examples,
+        "yolo_annotations": _corpus_prep().q_yolo_annotations,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
         # training-data curation pipeline (ops composed)
@@ -136,6 +147,10 @@ def oracle_sql() -> dict[str, str]:
         "langid": textstats.Q_LANGID_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
+        "corpus_alphabet": _corpus_prep().Q_CORPUS_ALPHABET_SQL,
+        "training_line_examples": _corpus_prep().Q_TRAINING_LINE_EXAMPLES_SQL,
+        "training_word_examples": _corpus_prep().Q_TRAINING_WORD_EXAMPLES_SQL,
+        "yolo_annotations": _corpus_prep().Q_YOLO_ANNOTATIONS_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
         "curate_documents_near_dup": _curate().Q_CURATE_DOCUMENTS_NEAR_DUP_SQL,

@@ -1,0 +1,513 @@
+"""Training-side corpus preparation — the reference's corpus/learning
+data-prep jobs re-expressed as Ray Data pipelines.
+
+Reference semantics ported here (NOT the DJL/OpenCV mechanics):
+
+* ``CorpusAnnotator`` (``core/corpus/CorpusAnnotator.scala:17-86``) —
+  the trait that walks an annotated corpus and emits training
+  artifacts per page. Here: :func:`annotate_corpus`, a flat_map-shaped
+  ``map_batches`` over the extraction Dataset applying a pluggable
+  per-page annotator.
+* ``TextLineExtractor`` (``core/corpus/TextLineExtractor.scala:29-77``)
+  — one training example per text line: cropped line image + simplified
+  content, every-Nth line to validation. Here: line-span examples over
+  ``extracted_text`` (:func:`line_examples`).
+* ``WordExtractor`` (``core/corpus/WordExtractor.scala:32-85``) — one
+  example per ``page.combinedWords`` entry (span-adjacent word pieces
+  merged back, ``core/model/TextLine.scala:38-57``), every-Nth word to
+  validation, alphabet accumulated as a side product.
+* ``GlyphDataset`` (``core/learning/GlyphDataset.scala:41-48``) — the
+  corpus alphabet: sorted distinct simplified glyph contents, class
+  index per glyph, trailing "" unknown class
+  (``classes = alphabet :+ ""``, ``GlyphDataset.scala:48``).
+* ``GlyphExtractor`` / ``GlyphDataset.get`` — one training example per
+  glyph with its class number
+  (``alphabetToIndex.getOrElse(content, alphabet.size)``,
+  ``GlyphDataset.scala:110-113``) and the margin-padded crop window
+  (``GlyphDataset.scala:79-92``).
+* ``YoloAnnotator`` (``core/corpus/YoloAnnotator.scala:78-170``) —
+  normalized ``class x_center y_center width height`` label rows
+  (``%.6f``), every-Nth page to validation.
+
+Scale notes: every job is a streaming explode over extraction blocks
+(no shuffle at all except the tiny alphabet distinct, which collapses
+to per-batch partials before one driver combine); outputs are written
+as split-partitioned parquet so a resumed run can skip finished
+partitions.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+
+from ..functions.normalize import simplify
+from ..ops.relational import _round, _to_table
+from ..ops.transcripts import _DERIVE_SQL, N_CONVS, derive_transcripts
+
+
+# ------------------------------------------------- CorpusAnnotator trait
+def annotate_corpus(
+    extracted: "ray.data.Dataset",
+    annotator,
+    *,
+    batch_size: int = 256,
+) -> "ray.data.Dataset":
+    """Apply a per-page annotator over the extraction Dataset — the
+    ``CorpusAnnotator.annotate`` loop (``CorpusAnnotator.scala:31-75``)
+    as a streaming flat_map: ``annotator(page_row) -> list[dict]``
+    rows, collected per batch into one Arrow table. The reference's
+    ``initialTransforms`` fold (rotation) has already run inside the
+    extraction stage (normalize/deskew), so annotators see the
+    transformed page exactly as ``annotateOneFile`` does."""
+
+    def run(batch: pa.Table) -> pa.Table:
+        rows: list[dict] = []
+        for page in batch.to_pylist():
+            rows.extend(annotator(page))
+        if not rows:
+            return pa.table({})
+        cols = {k: [r[k] for r in rows] for k in rows[0]}
+        return pa.table(cols)
+
+    return extracted.map_batches(run, batch_format="pyarrow", batch_size=batch_size)
+
+
+def _page_lines(page: dict):
+    """(line_index_within_page, line_dict) — reading order, the
+    ``page.textLinesWithRectangles.zipWithIndex`` analog."""
+    i = 0
+    for block in page.get("blocks") or []:
+        for line in block["lines"]:
+            yield i, line
+            i += 1
+
+
+def _combined_spans(line: dict) -> list[tuple[int, int]]:
+    """Combined-word spans: span-adjacent pieces merged — the
+    ``TextLine.combinedWords`` fold (``core/model/TextLine.scala:38-57``)
+    expressed on the stored structure, where "not separated by a
+    space" is exactly ``piece.start == previous.end``."""
+    out: list[list[int]] = []
+    for w in line["words"]:
+        s, e = w["span"]["start"], w["span"]["end"]
+        if out and s == out[-1][1]:
+            out[-1][1] = e
+        else:
+            out.append([s, e])
+    return [(s, e) for s, e in out]
+
+
+def _split_for(index: int, validation_one_every: int | None) -> str:
+    """'val' for every Nth example (1-based), else 'train' —
+    ``TextLineExtractor.scala:42-49``."""
+    if validation_one_every and (index + 1) % validation_one_every == 0:
+        return "val"
+    return "train"
+
+
+# ------------------------------------------------------ TextLineExtractor
+def line_examples(
+    extracted: "ray.data.Dataset",
+    *,
+    validation_one_every: int | None = 10,
+) -> "ray.data.Dataset":
+    """One training example per text line (TextLineExtractor): the
+    line's span in ``extracted_text`` is the crop rectangle analog,
+    the simplified content is the label, ``example_id`` mirrors
+    ``baseName_%03d`` and every Nth line of a page goes to 'val'."""
+
+    def annotator(page: dict) -> list[dict]:
+        text = page["extracted_text"]
+        rows = []
+        for i, line in _page_lines(page):
+            s, e = line["span"]["start"], line["span"]["end"]
+            rows.append(
+                {
+                    "conv_id": page["conv_id"],
+                    "turn_idx": page["turn_idx"],
+                    "line_idx": i,
+                    "example_id": f"{page['conv_id']}_{page['turn_idx']:05d}_{i:03d}",
+                    "content": simplify(text[s:e]),
+                    "span_start": s,
+                    "span_end": e,
+                    "split": _split_for(i, validation_one_every),
+                }
+            )
+        return rows
+
+    return annotate_corpus(extracted, annotator)
+
+
+def q_training_line_examples(sf_dir: str) -> pa.Table:
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction_for_corpus(turns)
+    out = _to_table(line_examples(extracted))
+    return _cast_idx(out, ["line_idx", "span_start", "span_end"])
+
+
+Q_TRAINING_LINE_EXAMPLES_SQL = f"""
+WITH t AS ({_DERIVE_SQL})
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(0 AS BIGINT) AS line_idx,
+       conv_id || '_' || LPAD(CAST(turn_idx AS VARCHAR), 5, '0') || '_000'
+         AS example_id,
+       extracted_text AS content,
+       CAST(0 AS BIGINT) AS span_start,
+       CAST(LENGTH(extracted_text) AS BIGINT) AS span_end,
+       'train' AS split
+FROM t
+WHERE extracted_text <> ''
+"""
+
+
+# ---------------------------------------------------------- WordExtractor
+def word_examples(
+    extracted: "ray.data.Dataset",
+    *,
+    validation_one_every: int | None = 10,
+) -> "ray.data.Dataset":
+    """One training example per combined word (WordExtractor):
+    ``page.combinedWords.zipWithIndex`` with every-Nth-word validation
+    split and ``baseName_%04d`` example ids
+    (``WordExtractor.scala:41-83``)."""
+
+    def annotator(page: dict) -> list[dict]:
+        text = page["extracted_text"]
+        rows = []
+        i = 0  # word index across the page, all lines
+        for _, line in _page_lines(page):
+            for s, e in _combined_spans(line):
+                rows.append(
+                    {
+                        "conv_id": page["conv_id"],
+                        "turn_idx": page["turn_idx"],
+                        "word_idx": i,
+                        "example_id": (
+                            f"{page['conv_id']}_{page['turn_idx']:05d}_{i:04d}"
+                        ),
+                        "content": simplify(text[s:e]),
+                        "span_start": s,
+                        "span_end": e,
+                        "split": _split_for(i, validation_one_every),
+                    }
+                )
+                i += 1
+        return rows
+
+    return annotate_corpus(extracted, annotator)
+
+
+def q_training_word_examples(sf_dir: str) -> pa.Table:
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction_for_corpus(turns)
+    out = _to_table(word_examples(extracted))
+    return _cast_idx(out, ["word_idx", "span_start", "span_end"])
+
+
+Q_TRAINING_WORD_EXAMPLES_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+toks AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         unnest(string_split(extracted_text, ' ')) AS tok,
+         generate_subscripts(string_split(extracted_text, ' '), 1) AS k
+  FROM t WHERE extracted_text <> ''
+),
+pos AS (
+  SELECT conv_id, turn_idx, tok, k,
+         CAST(COALESCE(SUM(LENGTH(tok) + 1) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS span_start
+  FROM toks
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(k - 1 AS BIGINT) AS word_idx,
+       conv_id || '_' || LPAD(CAST(turn_idx AS VARCHAR), 5, '0')
+               || '_' || LPAD(CAST(k - 1 AS VARCHAR), 4, '0') AS example_id,
+       tok AS content,
+       span_start,
+       span_start + LENGTH(tok) AS span_end,
+       CASE WHEN k % 10 = 0 THEN 'val' ELSE 'train' END AS split
+FROM pos
+"""
+
+
+# ------------------------------------------------- GlyphDataset alphabet
+def corpus_alphabet(extracted: "ray.data.Dataset") -> pa.Table:
+    """Sorted distinct simplified glyph contents + class index, with
+    the trailing "" unknown class (``GlyphDataset.scala:41-48``:
+    ``alphabet = SortedSet(allGlyphs.map(_.content).map(simplify))``;
+    ``classes = alphabet :+ ""``). Distributed as per-batch partial
+    distincts (each batch collapses to its unique glyphs — a few dozen
+    rows) combined once on the driver: the alphabet is bounded by the
+    character inventory, never by corpus size."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for blocks in batch["blocks"].to_pylist():
+            for block in blocks or []:
+                for line in block["lines"]:
+                    for word in line["words"]:
+                        for glyph in word["glyphs"] or []:
+                            seen.add(simplify(glyph["text"]))
+        return pa.table({"glyph": pa.array(sorted(seen), type=pa.string())})
+
+    partials = extracted.map_batches(partial, batch_format="pyarrow")
+    alphabet = sorted(set(_to_table(partials)["glyph"].to_pylist()))
+    return pa.table(
+        {
+            "glyph": pa.array(alphabet + [""], type=pa.string()),
+            "class_idx": pa.array(
+                list(range(len(alphabet))) + [len(alphabet)], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_corpus_alphabet(sf_dir: str) -> pa.Table:
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction_for_corpus(turns, include_glyphs=True)
+    return corpus_alphabet(extracted)
+
+
+# On this ASCII corpus every glyph is one non-space character of
+# extracted_text (glyph tiling = character boundaries), so the oracle
+# recomputes the alphabet by exploding characters.
+Q_CORPUS_ALPHABET_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+g AS (
+  SELECT DISTINCT substring(extracted_text, s.n, 1) AS glyph
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, LENGTH(extracted_text))) AS n
+  ) s
+  WHERE substring(extracted_text, s.n, 1) <> ' '
+)
+SELECT glyph, CAST(ROW_NUMBER() OVER (ORDER BY glyph) - 1 AS BIGINT) AS class_idx
+FROM g
+UNION ALL
+SELECT '', (SELECT COUNT(*) FROM g)
+"""
+
+
+# ------------------------------------------- GlyphExtractor / GlyphDataset
+def glyph_examples(
+    extracted: "ray.data.Dataset",
+    alphabet: pa.Table,
+) -> "ray.data.Dataset":
+    """One training example per glyph: simplified content as label,
+    class number via ``alphabetToIndex.getOrElse(content, size)``
+    (``GlyphDataset.scala:110-113``), and the margin-padded square
+    crop window (``GlyphDataset.scala:79-92``: crop height is 1.1x the
+    glyph, centered) expressed on spans: one char padded to a 2-wide
+    window clamped to the text. The alphabet table is tiny and
+    broadcast once via ``ray.put`` — never re-shipped per batch."""
+    glyphs = alphabet["glyph"].to_pylist()
+    idx = {g: i for i, g in enumerate(glyphs)}
+    unknown = len(idx) - 1 if "" in idx else len(idx)
+    index_ref = ray.put((idx, unknown))
+
+    def annotator_batch(batch: pa.Table) -> pa.Table:
+        index, unk = ray.get(index_ref)
+        rows: dict[str, list] = {
+            "conv_id": [], "turn_idx": [], "glyph_idx": [], "label": [],
+            "class_idx": [], "crop_start": [], "crop_end": [],
+        }
+        for page in batch.to_pylist():
+            n = len(page["extracted_text"])
+            g_i = 0
+            for _, line in _page_lines(page):
+                for word in line["words"]:
+                    for glyph in word["glyphs"] or []:
+                        s = glyph["span"]["start"]
+                        e = glyph["span"]["end"]
+                        label = simplify(glyph["text"])
+                        rows["conv_id"].append(page["conv_id"])
+                        rows["turn_idx"].append(page["turn_idx"])
+                        rows["glyph_idx"].append(g_i)
+                        rows["label"].append(label)
+                        rows["class_idx"].append(index.get(label, unk))
+                        rows["crop_start"].append(max(0, s - 1))
+                        rows["crop_end"].append(min(n, e + 1))
+                        g_i += 1
+        return pa.table(
+            {
+                "conv_id": pa.array(rows["conv_id"], type=pa.string()),
+                "turn_idx": pa.array(rows["turn_idx"], type=pa.int32()),
+                "glyph_idx": pa.array(rows["glyph_idx"], type=pa.int64()),
+                "label": pa.array(rows["label"], type=pa.string()),
+                "class_idx": pa.array(rows["class_idx"], type=pa.int64()),
+                "crop_start": pa.array(rows["crop_start"], type=pa.int64()),
+                "crop_end": pa.array(rows["crop_end"], type=pa.int64()),
+            }
+        )
+
+    return extracted.map_batches(
+        annotator_batch, batch_format="pyarrow", batch_size=256
+    )
+
+
+# ----------------------------------------------------------- YoloAnnotator
+YOLO_CLASSES = ("word", "textline")
+
+
+def yolo_annotations(
+    extracted: "ray.data.Dataset",
+    *,
+    validation_one_every: int | None = 10,
+    page_index_fn=None,
+) -> "ray.data.Dataset":
+    """Normalized YOLO label rows (``YoloAnnotator.scala:78-170``):
+    one row per object, ``class x_center y_center width height`` in
+    [0,1] rounded to 6 decimals (the reference's ``%.6f`` format).
+    Page geometry on text: width = len(extracted_text), height =
+    number of lines; a word box spans its combined-word span on the x
+    axis and its line's row on the y axis. The train/val split is by
+    PAGE index — ``CorpusAnnotator.annotate``'s file enumeration — via
+    ``page_index_fn(page) -> int`` (defaults to the transcript
+    corpus's doc-id arithmetic)."""
+    if page_index_fn is None:
+        def page_index_fn(page: dict) -> int:
+            return page["turn_idx"] * N_CONVS + int(page["conv_id"][4:])
+
+    def annotator(page: dict) -> list[dict]:
+        text = page["extracted_text"]
+        width = len(text)
+        if width == 0:
+            return []
+        lines = list(_page_lines(page))
+        height = len(lines)
+        if height == 0:
+            return []
+        split = _split_for(page_index_fn(page), validation_one_every)
+        rows = []
+
+        def emit(cls: str, obj_idx: int, x0: int, x1: int, li: int) -> None:
+            rows.append(
+                {
+                    "conv_id": page["conv_id"],
+                    "turn_idx": page["turn_idx"],
+                    "class_name": cls,
+                    "class_idx": YOLO_CLASSES.index(cls),
+                    "obj_idx": obj_idx,
+                    "cx": (x0 + x1) / 2.0 / width,
+                    "cy": (li + 0.5) / height,
+                    "w": (x1 - x0) / width,
+                    "h": 1.0 / height,
+                    "split": split,
+                }
+            )
+
+        w_i = 0
+        for li, line in lines:
+            for s, e in _combined_spans(line):
+                emit("word", w_i, s, e, li)
+                w_i += 1
+        for li, line in lines:
+            emit("textline", li, line["span"]["start"], line["span"]["end"], li)
+        return rows
+
+    out = annotate_corpus(extracted, annotator)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0 or "cx" not in batch.column_names:
+            return batch
+        return _round(batch, {"cx": 6, "cy": 6, "w": 6, "h": 6})
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+def q_yolo_annotations(sf_dir: str) -> pa.Table:
+    turns = derive_transcripts(sf_dir)
+    extracted = build_extraction_for_corpus(turns)
+    out = _to_table(yolo_annotations(extracted))
+    return _cast_idx(out, ["class_idx", "obj_idx"])
+
+
+Q_YOLO_ANNOTATIONS_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+pages AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         turn_idx * {N_CONVS} + CAST(SUBSTR(conv_id, 5) AS INT) AS page_index,
+         LENGTH(extracted_text) AS width
+  FROM t WHERE extracted_text <> ''
+),
+toks AS (
+  SELECT conv_id, turn_idx, width, page_index,
+         unnest(string_split(extracted_text, ' ')) AS tok,
+         generate_subscripts(string_split(extracted_text, ' '), 1) AS k
+  FROM pages
+),
+pos AS (
+  SELECT conv_id, turn_idx, width, page_index, tok, k,
+         COALESCE(SUM(LENGTH(tok) + 1) OVER (
+           PARTITION BY conv_id, turn_idx ORDER BY k
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS s
+  FROM toks
+),
+words AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         'word' AS class_name, CAST(0 AS BIGINT) AS class_idx,
+         CAST(k - 1 AS BIGINT) AS obj_idx,
+         ROUND((s + s + LENGTH(tok)) / 2.0 / width, 6) AS cx,
+         0.5 AS cy,
+         ROUND(LENGTH(tok) * 1.0 / width, 6) AS w,
+         1.0 AS h,
+         CASE WHEN (page_index + 1) % 10 = 0 THEN 'val' ELSE 'train' END AS split
+  FROM pos
+),
+tlines AS (
+  SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+         'textline' AS class_name, CAST(1 AS BIGINT) AS class_idx,
+         CAST(0 AS BIGINT) AS obj_idx,
+         0.5 AS cx, 0.5 AS cy, 1.0 AS w, 1.0 AS h,
+         CASE WHEN (page_index + 1) % 10 = 0 THEN 'val' ELSE 'train' END AS split
+  FROM pages
+)
+SELECT * FROM words UNION ALL SELECT * FROM tlines
+"""
+
+
+# ------------------------------------------------------------- utilities
+def build_extraction_for_corpus(turns, *, include_glyphs: bool = False):
+    from .extract import build_extraction
+
+    return build_extraction(
+        turns, include_blocks=True, include_glyphs=include_glyphs
+    )
+
+
+def _cast_idx(table: pa.Table, cols: list[str]) -> pa.Table:
+    out = {}
+    for name in table.column_names:
+        col = table[name]
+        if name in cols:
+            col = pc.cast(col, pa.int64())
+        out[name] = col
+    return pa.table(out)
+
+
+def prepare_training_corpus(
+    input_dir: str,
+    out_dir: str,
+    *,
+    kind: str = "lines",
+    validation_one_every: int | None = 10,
+) -> dict:
+    """End-to-end corpus prep job: read transcripts, extract, explode
+    examples, write split-partitioned parquet (``labels/train`` /
+    ``labels/val`` analog — partition dirs double as resume units)."""
+    from ..sources.reader import read_transcripts
+    from .extract import build_extraction
+
+    turns = read_transcripts(input_dir)
+    extracted = build_extraction(turns, include_blocks=True)
+    maker = {"lines": line_examples, "words": word_examples}[kind]
+    examples = maker(extracted, validation_one_every=validation_one_every)
+    examples.write_parquet(out_dir, partition_cols=["split"])
+    written = ray.data.read_parquet(out_dir)
+    return {"out_dir": out_dir, "rows": written.count(), "kind": kind}

@@ -1,0 +1,187 @@
+"""Corpus-prep pipelines (TextLineExtractor / WordExtractor /
+GlyphDataset / YoloAnnotator analogs) on the markup-bearing generated
+corpus — multi-line pages, so the every-Nth splits and per-line
+geometry are exercised for real (the sf driver corpus is single-line
+per page)."""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, small_corpus):
+    from jochre3_ocr_ray.pipelines.extract import build_extraction
+    from jochre3_ocr_ray.sources.reader import read_transcripts
+
+    turns = read_transcripts(str(small_corpus))
+    return build_extraction(turns, include_blocks=True, include_glyphs=True)
+
+
+@pytest.fixture(scope="module")
+def pages(ray_session, extracted):
+    from jochre3_ocr_ray.ops.relational import _to_table
+
+    return _to_table(
+        extracted.select_columns(
+            ["conv_id", "turn_idx", "extracted_text", "blocks"]
+        )
+    ).to_pylist()
+
+
+class TestLineExamples:
+    def test_spans_content_and_split(self, ray_session, extracted, pages):
+        from jochre3_ocr_ray.functions.normalize import simplify
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import line_examples
+
+        out = _to_table(
+            line_examples(extracted, validation_one_every=3)
+        ).to_pandas()
+        assert len(out) > 0
+        by_page = {(p["conv_id"], p["turn_idx"]): p for p in pages}
+        n_lines_total = sum(
+            len(l["lines"]) for p in pages for l in (p["blocks"] or [])
+        )
+        assert len(out) == n_lines_total
+        # multi-line pages exist in the markup corpus
+        assert out.groupby(["conv_id", "turn_idx"]).size().max() > 1
+        for row in out.sample(50, random_state=7).itertuples():
+            page = by_page[(row.conv_id, row.turn_idx)]
+            assert row.content == simplify(
+                page["extracted_text"][row.span_start:row.span_end]
+            )
+            assert row.split == (
+                "val" if (row.line_idx + 1) % 3 == 0 else "train"
+            )
+            assert row.example_id == (
+                f"{row.conv_id}_{row.turn_idx:05d}_{row.line_idx:03d}"
+            )
+        # real val rows exist
+        assert (out["split"] == "val").sum() > 0
+
+    def test_line_idx_contiguous_per_page(self, ray_session, extracted):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import line_examples
+
+        out = _to_table(line_examples(extracted)).to_pandas()
+        for _, grp in out.groupby(["conv_id", "turn_idx"]):
+            idx = sorted(grp["line_idx"])
+            assert idx == list(range(len(idx)))
+
+
+class TestWordExamples:
+    def test_combined_words_are_space_runs(self, ray_session, extracted, pages):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import word_examples
+
+        out = _to_table(
+            word_examples(extracted, validation_one_every=10)
+        ).to_pandas()
+        by_page = {(p["conv_id"], p["turn_idx"]): p for p in pages}
+        for row in out.sample(80, random_state=3).itertuples():
+            page = by_page[(row.conv_id, row.turn_idx)]
+            text = page["extracted_text"]
+            # span slices the content and is a maximal non-space run
+            # within its line (combinedWords semantics)
+            piece = text[row.span_start:row.span_end]
+            assert " " not in piece
+            assert row.content == piece or row.content  # simplified view
+            if row.span_start > 0:
+                assert text[row.span_start - 1] in (" ", "\n")
+            if row.span_end < len(text):
+                assert text[row.span_end] in (" ", "\n")
+            assert row.split == (
+                "val" if (row.word_idx + 1) % 10 == 0 else "train"
+            )
+        assert (out["split"] == "val").sum() > 0
+
+
+class TestCorpusAlphabet:
+    def test_matches_char_inventory(self, ray_session, extracted, pages):
+        from jochre3_ocr_ray.functions.normalize import simplify
+        from jochre3_ocr_ray.pipelines.corpus_prep import corpus_alphabet
+
+        table = corpus_alphabet(extracted)
+        glyphs = table["glyph"].to_pylist()
+        idxs = table["class_idx"].to_pylist()
+        # unknown class "" comes last with index == alphabet size
+        assert glyphs[-1] == ""
+        assert idxs[-1] == len(glyphs) - 1
+        assert idxs == list(range(len(glyphs)))
+        assert glyphs[:-1] == sorted(glyphs[:-1])
+        expected = set()
+        for p in pages:
+            for ch in p["extracted_text"]:
+                if ch not in (" ", "\n"):
+                    expected.add(simplify(ch))
+        assert set(glyphs[:-1]) == expected
+
+
+class TestGlyphExamples:
+    def test_class_lookup_and_crops(self, ray_session, extracted, pages):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            corpus_alphabet,
+            glyph_examples,
+        )
+
+        alphabet = corpus_alphabet(extracted)
+        idx = {g: i for i, g in enumerate(alphabet["glyph"].to_pylist())}
+        out = _to_table(glyph_examples(extracted, alphabet)).to_pandas()
+        assert len(out) > 0
+        by_page = {(p["conv_id"], p["turn_idx"]): p for p in pages}
+        for row in out.sample(50, random_state=5).itertuples():
+            assert row.class_idx == idx[row.label]
+            page = by_page[(row.conv_id, row.turn_idx)]
+            assert 0 <= row.crop_start <= row.crop_end
+            assert row.crop_end <= len(page["extracted_text"])
+
+
+class TestYoloAnnotations:
+    def test_boxes_normalized_multiline(self, ray_session, extracted):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import yolo_annotations
+
+        out = _to_table(
+            yolo_annotations(extracted, validation_one_every=4,
+                             page_index_fn=lambda p: p["turn_idx"])
+        ).to_pandas()
+        assert ((out["cx"] >= 0) & (out["cx"] <= 1)).all()
+        assert ((out["cy"] >= 0) & (out["cy"] <= 1)).all()
+        assert ((out["w"] > 0) & (out["w"] <= 1)).all()
+        assert ((out["h"] > 0) & (out["h"] <= 1)).all()
+        # a multi-line page yields textline rows at distinct cy values
+        lines = out[out["class_name"] == "textline"]
+        multi = lines.groupby(["conv_id", "turn_idx"])["cy"].nunique()
+        assert multi.max() > 1
+        # split follows the page index rule
+        val_pages = out.loc[out["split"] == "val", "turn_idx"].unique()
+        assert all((t + 1) % 4 == 0 for t in val_pages)
+        assert len(val_pages) > 0
+
+    def test_word_rows_match_word_examples(self, ray_session, extracted):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            word_examples,
+            yolo_annotations,
+        )
+
+        yolo = _to_table(yolo_annotations(extracted)).to_pandas()
+        words = _to_table(word_examples(extracted)).to_pandas()
+        assert (yolo["class_name"] == "word").sum() == len(words)
+
+
+class TestPrepareTrainingCorpus:
+    def test_writes_split_partitions(self, ray_session, small_corpus, tmp_path):
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            prepare_training_corpus,
+        )
+
+        out = tmp_path / "prep"
+        res = prepare_training_corpus(
+            str(small_corpus), str(out), kind="lines", validation_one_every=3
+        )
+        assert res["rows"] > 0
+        parts = {p.name for p in out.iterdir() if p.is_dir()}
+        assert parts == {"split=train", "split=val"}
