@@ -304,6 +304,49 @@ class TestEvaluatePairs:
         assert mean["cer"] == pytest.approx(per["cer"].mean(), abs=1e-6)
 
 
+class TestRunEvaluationBucketed:
+    def test_co_partitioned_join_no_broadcast(self, ray_session, tmp_path):
+        """run_evaluation joins gold and predictions by co-partitioned
+        shuffle: matched rows score, unmatched predictions get
+        expected='', gold-only rows drop."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.evaluation import run_evaluation
+
+        pred_dir = tmp_path / "pred"
+        gold_dir = tmp_path / "gold"
+        pred_dir.mkdir()
+        gold_dir.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["c1", "c1", "c2"],
+                    "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+                    "processed_text": ["abc", "xyz", "orphan"],
+                }
+            ),
+            pred_dir / "p.parquet",
+        )
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": ["c1", "c1", "c9"],
+                    "turn_idx": pa.array([0, 1, 0], type=pa.int32()),
+                    "expected_text": ["abc", "xyw", "gold-only"],
+                }
+            ),
+            gold_dir / "g.parquet",
+        )
+        out = run_evaluation(str(pred_dir), str(gold_dir)).to_pandas()
+        per = out[out.key != "__mean__"].set_index("key")
+        assert set(per.index) == {"c1/0", "c1/1", "c2/0"}  # c9 dropped
+        assert per.loc["c1/0", "cer"] == 0.0
+        assert per.loc["c1/1", "cer"] > 0.0
+        # unmatched prediction scores against empty expected
+        assert per.loc["c2/0", "cer"] > 0.0
+
+
 class TestDedupClusters:
     def test_chain_transitivity(self):
         from jochre3_ocr_ray.ops.dedup import connected_components
@@ -449,6 +492,45 @@ class TestAntiSemiJoin:
         semi_u = set(_anti_semi(sf, pred, keep_matched=True)["c_custkey"].to_pylist())
         assert not anti_u & semi_u
         assert len(anti_u) + len(semi_u) == total
+
+
+class TestDimJoinSizeGate:
+    def test_crossover_decision(self, tmp_path):
+        """The broadcast/shuffle choice follows measured dimension
+        bytes against DIM_BROADCAST_MAX_BYTES."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops import relational
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"c_custkey": [1], "c_nationkey": [0]}),
+            sf / "customer.parquet",
+        )
+        assert relational._dim_join_mode(str(sf), "customer") == "broadcast"
+        old = relational.DIM_BROADCAST_MAX_BYTES
+        try:
+            relational.DIM_BROADCAST_MAX_BYTES = 10  # smaller than any file
+            assert relational._dim_join_mode(str(sf), "customer") == "shuffle"
+        finally:
+            relational.DIM_BROADCAST_MAX_BYTES = old
+
+    def test_both_paths_agree(self, ray_session):
+        """Broadcast and shuffle paths of q_revenue_by_nation are
+        value-identical (the >threshold path never does a
+        full-dimension .to_pandas())."""
+        from jochre3_ocr_ray.ops.relational import q_revenue_by_nation
+
+        sf = "/root/testdata/sf0.001"
+        b = q_revenue_by_nation(sf, mode="broadcast").to_pandas()
+        s = q_revenue_by_nation(sf, mode="shuffle").to_pandas()
+        b = b.sort_values("n_name").reset_index(drop=True)
+        s = s.sort_values("n_name").reset_index(drop=True)
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(b, s, check_like=True)
 
 
 class TestDistributedComponents:
