@@ -114,14 +114,26 @@ def build_extraction(
 
 @ray.remote(num_cpus=0)
 class _MetricsAccumulator:
-    """Streaming shard-metric totals (rows / n_words / empty_turns)."""
+    """Streaming shard-metric totals (rows / n_words / empty_turns).
+
+    Adds are IDEMPOTENT, keyed by a deterministic batch id (the first
+    row's (conv_id, turn_idx) — each turn lives in exactly one batch,
+    so the key is unique across disjoint batches and stable across
+    replays): Ray retries/lost-object reconstruction can re-execute a
+    block and re-fire ``count_batch``, which previously double-counted
+    into the committed manifest (ADVICE r2). The seen-set is bounded
+    by batches-per-shard, not rows."""
 
     def __init__(self):
+        self.seen: set = set()
         self.rows = 0
         self.n_words = 0
         self.n_empty = 0
 
-    def add(self, rows: int, n_words: int, n_empty: int) -> None:
+    def add(self, key, rows: int, n_words: int, n_empty: int) -> None:
+        if key in self.seen:
+            return
+        self.seen.add(key)
         self.rows += rows
         self.n_words += n_words
         self.n_empty += n_empty
@@ -193,9 +205,13 @@ def run_extraction(
         def count_batch(t):
             import pyarrow.compute as pc
 
+            if t.num_rows == 0:  # untagged empty blocks pass through
+                return t
             col = t["n_words"]
+            key = (t["conv_id"][0].as_py(), t["turn_idx"][0].as_py())
             ray.get(
                 acc.add.remote(
+                    key,
                     t.num_rows,
                     pc.sum(col).as_py() or 0,
                     pc.sum(pc.cast(pc.equal(col, 0), "int64")).as_py() or 0,
@@ -205,7 +221,15 @@ def run_extraction(
 
         out = prepared[i].map_batches(count_batch, batch_format="pyarrow")
         out.write_parquet(str(tmp), partition_cols=["bucket"])
-        rows, n_words, n_empty = ray.get(acc.totals.remote())
+        _, n_words, n_empty = ray.get(acc.totals.remote())
+        # the committed row count comes from the written files' parquet
+        # FOOTERS (metadata-only, no data re-read): exact by
+        # construction even if a replayed batch slipped past the
+        # accumulator's dedupe (ADVICE r2)
+        rows = sum(
+            _parquet_file(f).metadata.num_rows
+            for f in sorted(tmp.glob("**/*.parquet"))
+        )
         ray.kill(acc)
         log.commit_shard(
             shard_id,

@@ -165,6 +165,21 @@ class TestResume:
         assert (full["extracted_text"] == redone["extracted_text"]).all()
         assert len(full) == len(redone)
 
+    def test_metrics_accumulator_dedupes_replayed_batches(self, ray_session):
+        """Ray can replay a block on retry/reconstruction; the metrics
+        actor must count each deterministic batch key once (ADVICE r2)."""
+        from jochre3_ocr_ray.pipelines.extract import _MetricsAccumulator
+
+        acc = _MetricsAccumulator.remote()
+        import ray as _ray
+
+        _ray.get(acc.add.remote(("c1", 0), 10, 50, 1))
+        _ray.get(acc.add.remote(("c1", 0), 10, 50, 1))  # replayed batch
+        _ray.get(acc.add.remote(("c2", 5), 4, 8, 0))
+        rows, n_words, n_empty = _ray.get(acc.totals.remote())
+        _ray.kill(acc)
+        assert (rows, n_words, n_empty) == (14, 58, 1)
+
     def test_lineage_manifest_contents(self, pipeline_run):
         work, _ = pipeline_run
         manifests = sorted((work / "turns" / "_lineage").glob("*.json"))
