@@ -91,8 +91,19 @@ class TestEmbeddingLshNearDup:
         # and LSH finds no pair the exact pass rejects
         assert lsh_pairs <= exact_pairs
 
-        # the driver-checked accuracy row agrees
+        # the driver-checked accuracy row agrees — on the twin-augmented
+        # corpus (q_embedding_near_dup_lsh plants 20 exact twins so the
+        # recall check is never vacuous)
+        from jochre3_ocr_ray.ops.dedup import (
+            _augment_with_twins,
+            embedding_cosine_pairs,
+        )
+
+        aug_exact = embedding_cosine_pairs(
+            _augment_with_twins(ds), threshold=0.95
+        ).to_pandas()
         summary = q_embedding_near_dup_lsh(sf, threshold=0.95).to_pandas()
-        assert summary["n_true_pairs"][0] == len(exact_pairs)
+        assert summary["n_true_pairs"][0] == len(aug_exact)
+        assert len(aug_exact) >= len(exact_pairs) + 20
         assert summary["n_false_positives"][0] == 0
         assert bool(summary["recall_ok"][0])
