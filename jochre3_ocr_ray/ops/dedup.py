@@ -458,12 +458,43 @@ Q_DEDUP_MINHASH_SQL = TRUE_PAIRS_SQL
 
 
 # ------------------------------------------------- exact n-gram jaccard
+# web-scale stop-shingle guard: a shingle appearing in m docs yields
+# O(m^2) candidate pairs in its bucket; at corpus scale one boilerplate
+# bigram can dominate the whole job. ON by default ("auto"); pass
+# max_df=None for strict exactness (pairs whose EVERY shared shingle is
+# ultra-common are then kept).
+NGRAM_AUTO_MAX_DF_FLOOR = 256
+
+
+def _resolve_max_df(max_df, n_docs: "int | None") -> "int | None":
+    """None -> no cap (explicit exactness override); "auto" -> a cap
+    that scales with corpus size (floor {floor}, ~1% of docs beyond
+    25.6k); int -> itself.""".format(floor=NGRAM_AUTO_MAX_DF_FLOOR)
+    if max_df is None or isinstance(max_df, int):
+        return max_df
+    return max(NGRAM_AUTO_MAX_DF_FLOOR, (n_docs or 0) // 100)
+
+
+def _log_dropped_buckets(n_buckets: int, n_pairs_skipped: int) -> None:
+    if n_buckets:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "ngram dedup: max_df guard dropped %d hot shingle bucket(s) "
+            "(~%d candidate pairs skipped); pass max_df=None for "
+            "strict exactness",
+            n_buckets,
+            n_pairs_skipped,
+        )
+
+
 def ngram_exact_pairs(
     ds: "ray.data.Dataset",
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: "int | str | None" = "auto",
+    n_docs: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT n-gram-Jaccard pairs via an inverted shingle index + a
     distributed join-back — recall 1, no broadcast, no driver pass.
@@ -483,7 +514,10 @@ def ngram_exact_pairs(
     ``max_df`` (off by default — exactness) drops shingles appearing
     in more than ``max_df`` docs from candidate GENERATION only: the
     stop-shingle hot-bucket guard for web-scale corpora, at the cost
-    of missing pairs whose every shared shingle is ultra-common."""
+    of missing pairs whose every shared shingle is ultra-common.
+    Default "auto" (see ``_resolve_max_df``); dropped buckets are
+    logged with their skipped pair volume."""
+    max_df = _resolve_max_df(max_df, n_docs)
 
     def to_docsets(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -519,14 +553,20 @@ def ngram_exact_pairs(
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         part = part[part.duplicated("shingle", keep=False)]
         out_a, out_b = [], []
+        dropped = skipped_pairs = 0
         for _, group in part.groupby("shingle", sort=False):
             ids = np.sort(group["doc_id"].unique())
             m = len(ids)
-            if m < 2 or (max_df is not None and m > max_df):
+            if m < 2:
+                continue
+            if max_df is not None and m > max_df:
+                dropped += 1
+                skipped_pairs += m * (m - 1) // 2
                 continue
             ii, jj = np.triu_indices(m, k=1)
             out_a.append(ids[ii])
             out_b.append(ids[jj])
+        _log_dropped_buckets(dropped, skipped_pairs)
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
@@ -609,7 +649,8 @@ def ngram_exact_pairs_counted(
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: int | None = None,
+    max_df: "int | str | None" = "auto",
+    n_docs: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard pairs from the inverted index ALONE — no
     shingle-set join-back, no per-pair verify loop.
@@ -628,8 +669,12 @@ def ngram_exact_pairs_counted(
     ~40x faster than the join-back twin on co-occurrence-heavy corpora
     (the verify loop was ~100us of pandas overhead per candidate pair;
     this is a group-size count). ``ngram_exact_pairs`` (join-back)
-    remains for when downstream needs the shingle sets themselves."""
+    remains for when downstream needs the shingle sets themselves.
+    ``max_df`` defaults to "auto" (stop-shingle guard, see
+    ``_resolve_max_df``); dropped buckets are logged."""
     import pandas as pd
+
+    max_df = _resolve_max_df(max_df, n_docs)
 
     def to_index(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_pylist()
@@ -660,10 +705,15 @@ def ngram_exact_pairs_counted(
     def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
         part = part[part.duplicated("shingle", keep=False)]
         out_a, out_b, out_na, out_nb = [], [], [], []
+        dropped = skipped_pairs = 0
         for _, group in part.groupby("shingle", sort=False):
             g = group.drop_duplicates("doc_id").sort_values("doc_id")
             m = len(g)
-            if m < 2 or (max_df is not None and m > max_df):
+            if m < 2:
+                continue
+            if max_df is not None and m > max_df:
+                dropped += 1
+                skipped_pairs += m * (m - 1) // 2
                 continue
             ids = g["doc_id"].to_numpy()
             ns = g["n_sh"].to_numpy()
@@ -672,6 +722,7 @@ def ngram_exact_pairs_counted(
             out_b.append(ids[jj])
             out_na.append(ns[ii])
             out_nb.append(ns[jj])
+        _log_dropped_buckets(dropped, skipped_pairs)
         if not out_a:
             return pd.DataFrame(
                 {
@@ -718,8 +769,12 @@ def q_dedup_ngram(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
     """Exact n-gram Jaccard near-dup pairs (recall 1) via the counted
     inverted index; same oracle as ``q_dedup_minhash``."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    # metadata-only row count (parquet footers) feeds the auto max_df
     return _round(
-        _to_table(ngram_exact_pairs_counted(ds, threshold)), {"jaccard": 4}
+        _to_table(
+            ngram_exact_pairs_counted(ds, threshold, n_docs=ds.count())
+        ),
+        {"jaccard": 4},
     )
 
 

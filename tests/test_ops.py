@@ -304,6 +304,62 @@ class TestEvaluatePairs:
         assert mean["cer"] == pytest.approx(per["cer"].mean(), abs=1e-6)
 
 
+class TestNgramMaxDfGuard:
+    def test_hot_shingle_dropped_near_dups_kept(self, ray_session, tmp_path):
+        """A stop shingle shared by hundreds of docs must not generate
+        O(m^2) candidate pairs under the (default-on) max_df guard,
+        while near-dups sharing RARE shingles are still found; with
+        max_df=None the common-shingle pair reappears (exactness)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import (
+            _resolve_max_df,
+            ngram_exact_pairs_counted,
+        )
+
+        # auto resolution: floor at small scale, scales with corpus
+        assert _resolve_max_df("auto", None) == 256
+        assert _resolve_max_df("auto", 1_000_000) == 10_000
+        assert _resolve_max_df(None, 5) is None
+        assert _resolve_max_df(7, None) == 7
+
+        texts = []
+        # 300 filler docs all containing the stop shingle "stop word"
+        for i in range(300):
+            texts.append(f"stop word filler{i} unique{i}")
+        # 300/301: identical docs whose ONLY shingle is the stop shingle
+        texts.append("stop word")
+        texts.append("stop word")
+        # 302/303: near-dups via rare shingles
+        texts.append("rare alpha beta gamma delta")
+        texts.append("rare alpha beta gamma delta")
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        ds = rd.read_parquet(str(sf / "documents.parquet"))
+
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        guarded = _to_table(
+            ngram_exact_pairs_counted(ds, threshold=0.9, max_df=100)
+        ).to_pandas()
+        g_pairs = {(int(a), int(b)) for a, b in zip(guarded.id_a, guarded.id_b)}
+        assert (302, 303) in g_pairs        # rare-shingle near-dup kept
+        assert (300, 301) not in g_pairs    # only-common-shingle pair dropped
+
+        exact = _to_table(
+            ngram_exact_pairs_counted(ds, threshold=0.9, max_df=None)
+        ).to_pandas()
+        e_pairs = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
+        assert (300, 301) in e_pairs and (302, 303) in e_pairs
+
+
 class TestRunEvaluationBucketed:
     def test_co_partitioned_join_no_broadcast(self, ray_session, tmp_path):
         """run_evaluation joins gold and predictions by co-partitioned
