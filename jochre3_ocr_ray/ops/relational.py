@@ -680,7 +680,8 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day_d
 
 
 # ------------------------------------------------------------ as-of join
-def q_events_asof(sf_dir: str) -> pa.Table:
+def q_events_asof(sf_dir: str, salted: bool = False,
+                  bucket_sec: int = 7 * 86400) -> pa.Table:
     """AS-OF JOIN — the custom time-ordered join Ray Data lacks
     natively: for every ``error`` event, the latest ``purchase`` event
     by the same user at-or-before it.
@@ -691,9 +692,12 @@ def q_events_asof(sf_dir: str) -> pa.Table:
     huge); inside each partition a single vectorized
     ``pandas.merge_asof`` (sorted by ts, ``by=user_id``) does the
     backward match for every user in the partition at C speed.
-    Partitioning assumption: a user's full history fits one partition
-    — salt by coarse time range and stitch boundaries for
-    pathological single-user volumes. Oracle: DuckDB ``ASOF JOIN``."""
+    Partitioning assumption: a user's full history fits one partition.
+    ``salted=True`` switches to the pathological-single-user fallback
+    (``_asof_salted``): partition on (user, time-bucket) and stitch
+    bucket boundaries with carried-forward latest-purchase rows —
+    equality with this path is test-pinned. Oracle: DuckDB
+    ``ASOF JOIN``."""
     import numpy as np
     import pandas as pd
 
@@ -790,12 +794,18 @@ def q_events_asof(sf_dir: str) -> pa.Table:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:  # noqa: BLE001
         cpus = 8
-    parts = _exchange(
-        tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs(),
-        "user_id",
-        max(8, min(64, cpus)),
-        combine,
-    )
+    n_parts = max(8, min(64, cpus))
+    if salted:
+        parts = _asof_salted(
+            tagged_left, tagged_right, bucket_sec, n_parts, combine
+        )
+    else:
+        parts = _exchange(
+            tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs(),
+            "user_id",
+            n_parts,
+            combine,
+        )
     tables = [t for t in ray.get(parts) if t.num_rows]
     if not tables:
         return pa.table(
@@ -809,6 +819,171 @@ def q_events_asof(sf_dir: str) -> pa.Table:
     return _round(
         pa.concat_tables(tables, promote_options="default"),
         {"purchase_value": 4},
+    )
+
+
+def _asof_salted(tagged_left, tagged_right, bucket_sec: int,
+                 n_parts: int, combine) -> list:
+    """Salted-time-range AS-OF exchange with boundary stitch — the
+    hot-user fallback (VERDICT r2 #4b): no partition ever holds a
+    whole user's history.
+
+    1. Both event sides get a ``bucket = ts // bucket_sec`` column and
+       a (user, bucket) salt key.
+    2. STITCH: per-batch partials reduce the right side to one
+       latest-purchase row per (user, bucket) and the left side to
+       distinct (user, bucket) markers; one tiny exchange keyed by
+       user computes, for every left bucket, the latest purchase from
+       any STRICTLY EARLIER bucket and emits it as a carried-forward
+       pseudo purchase row salted into that left bucket. Only
+       per-bucket summaries move here — never events.
+    3. Events + carry rows exchange on the salt key; each partition
+       runs the SAME vectorized ``merge_asof`` combine as the unsalted
+       path (in-bucket purchases match directly, earlier-bucket
+       matches come from the carry row, whose ts/value are the true
+       purchase's — so gaps stay exact).
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.hashing import _splitmix64
+    from .dedup import _exchange
+
+    BUCKET_US = int(bucket_sec) * 1_000_000
+
+    def _salt(user: np.ndarray, bucket: np.ndarray) -> np.ndarray:
+        with np.errstate(over="ignore"):
+            h = _splitmix64(
+                user.astype(np.uint64)
+                ^ _splitmix64(bucket.astype(np.uint64))
+            )
+        return h.astype(np.int64)
+
+    def add_salt(t: pa.Table) -> pa.Table:
+        us = t["ts"].cast(pa.timestamp("us")).cast(pa.int64()).to_numpy()
+        bucket = us // BUCKET_US
+        user = t["user_id"].to_numpy()
+        t = t.append_column("bucket", pa.array(bucket, type=pa.int64()))
+        return t.append_column(
+            "skey", pa.array(_salt(user, bucket), type=pa.int64())
+        )
+
+    salted_left = tagged_left.map_batches(add_salt, batch_format="pyarrow")
+    salted_right = tagged_right.map_batches(add_salt, batch_format="pyarrow")
+
+    _SUMMARY_EMPTY = pa.table(
+        {
+            "user_id": pa.array([], type=pa.int64()),
+            "bucket": pa.array([], type=pa.int64()),
+            "ts": pa.array([], type=pa.timestamp("us")),
+            "value": pa.array([], type=pa.float64()),
+            "kind": pa.array([], type=pa.string()),
+        }
+    )
+
+    def right_summary(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUMMARY_EMPTY
+        df = t.select(["user_id", "bucket", "ts", "value"]).to_pandas()
+        idx = df.groupby(["user_id", "bucket"])["ts"].idxmax()
+        s = df.loc[idx].copy()
+        s["kind"] = "R"
+        out = pa.Table.from_pandas(s, preserve_index=False)
+        return out.set_column(
+            out.schema.get_field_index("ts"), "ts",
+            out["ts"].cast(pa.timestamp("us")),
+        )
+
+    def left_marker(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _SUMMARY_EMPTY
+        df = (
+            t.select(["user_id", "bucket"])
+            .to_pandas()
+            .drop_duplicates(["user_id", "bucket"])
+        )
+        df["ts"] = pd.NaT
+        df["value"] = np.nan
+        df["kind"] = "L"
+        out = pa.Table.from_pandas(df, preserve_index=False)
+        return out.set_column(
+            out.schema.get_field_index("ts"), "ts",
+            out["ts"].cast(pa.timestamp("us")),
+        )
+
+    summaries = salted_right.map_batches(
+        right_summary, batch_format="pyarrow"
+    ).union(salted_left.map_batches(left_marker, batch_format="pyarrow"))
+
+    _CARRY_COLS = ["user_id", "ts", "event_id", "value", "side",
+                   "bucket", "skey"]
+
+    def make_carry(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "kind" not in t.column_names:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "ts": pa.array([], type=pa.timestamp("us")),
+                    "event_id": pa.array([], type=pa.int64()),
+                    "value": pa.array([], type=pa.float64()),
+                    "side": pa.array([], type=pa.string()),
+                    "bucket": pa.array([], type=pa.int64()),
+                    "skey": pa.array([], type=pa.int64()),
+                }
+            )
+        df = t.to_pandas()
+        rows = []
+        for uid, g in df.groupby("user_id", sort=False):
+            r = g[g["kind"] == "R"]
+            if len(r):
+                # re-reduce partials: latest per bucket, sorted by bucket
+                r = r.loc[r.groupby("bucket")["ts"].idxmax()].sort_values(
+                    "bucket"
+                )
+                r_buckets = r["bucket"].to_numpy()
+            lb = np.sort(g.loc[g["kind"] == "L", "bucket"].unique())
+            if not len(r) or not len(lb):
+                continue
+            # for each left bucket: latest purchase in a strictly
+            # earlier bucket = the highest right bucket < b
+            pos = np.searchsorted(r_buckets, lb, side="left") - 1
+            for b, p in zip(lb, pos):
+                if p < 0:
+                    continue
+                rr = r.iloc[p]
+                rows.append(
+                    (int(uid), rr["ts"], None, float(rr["value"]), "R",
+                     int(b))
+                )
+        if not rows:
+            return make_carry(_SUMMARY_EMPTY.slice(0, 0))
+        out = pd.DataFrame(
+            rows,
+            columns=["user_id", "ts", "event_id", "value", "side", "bucket"],
+        )
+        out["skey"] = _salt(
+            out["user_id"].to_numpy(), out["bucket"].to_numpy()
+        )
+        res = pa.Table.from_pandas(out[_CARRY_COLS], preserve_index=False)
+        res = res.set_column(
+            res.schema.get_field_index("ts"), "ts",
+            res["ts"].cast(pa.timestamp("us")),
+        )
+        return res.set_column(
+            res.schema.get_field_index("event_id"), "event_id",
+            pa.nulls(len(out), pa.int64()),
+        )
+
+    carry_parts = _exchange(
+        summaries.to_arrow_refs(), "user_id", n_parts, make_carry
+    )
+    return _exchange(
+        salted_left.to_arrow_refs()
+        + salted_right.to_arrow_refs()
+        + carry_parts,
+        "skey",
+        n_parts,
+        combine,
     )
 
 
@@ -920,18 +1095,202 @@ WHERE EXISTS (
 
 
 # --------------------------------------------------------- exact quantiles
-def q_events_quantiles(sf_dir: str) -> pa.Table:
-    """EXACT grouped quantiles (median + p90 of event value per type):
-    groups are co-located by a hash partition on the group key, each
-    computed with one vectorized ``np.quantile`` (linear interpolation
-    — DuckDB ``QUANTILE_CONT`` semantics). Exactness needs the whole
-    group in one partition; for groups beyond partition memory switch
-    to a two-pass histogram refine or a t-digest sketch (documented
-    trade-off — the oracle covers the exact path)."""
+def grouped_quantiles_histogram(
+    ds,
+    key: str,
+    value: str,
+    qs: list[float],
+    *,
+    bins: int = 512,
+    refine_iters: int = 2,
+) -> "dict[tuple[str, float], float]":
+    """EXACT grouped quantiles WITHOUT group co-location — the
+    beyond-partition-memory path (VERDICT r2 #4a): no partition ever
+    holds a whole group; the full data streams through k small passes.
+
+    Histogram-refine: (1) one pass for per-group (min, max, n); (2)
+    ``refine_iters`` passes histogram the values of each (group,
+    quantile) target's current [lo, hi) range into ``bins`` buckets
+    (per-batch partials, driver combines group×bins counts) and narrow
+    the range to the bucket(s) holding the target ranks — population
+    shrinks ~bins× per pass; (3) a final pass gathers only the values
+    inside the (now tiny) range and interpolates the exact
+    ``np.quantile`` answer from the true global ranks. Driver state is
+    one (lo, hi) per group×quantile — never data.
+    """
+    import numpy as np
+    import pandas as pd
+
+    # pass 1: per-group extent + count (per-batch partials -> tiny combine)
+    def extent(batch: pd.DataFrame) -> pd.DataFrame:
+        g = batch.groupby(key, as_index=False)[value].agg(
+            ["min", "max", "count"]
+        )
+        g.columns = [key, "lo", "hi", "n"]
+        return g
+
+    ext = (
+        _to_table(ds.map_batches(extent, batch_format="pandas"))
+        .to_pandas()
+        .groupby(key, as_index=False)
+        .agg(lo=("lo", "min"), hi=("hi", "max"), n=("n", "sum"))
+    )
+
+    # per (group, q): the two global ranks np.quantile interpolates
+    # between, and the value range known to contain both
+    state: dict[tuple[str, float], dict] = {}
+    for row in ext.itertuples():
+        for q in qs:
+            h = (row.n - 1) * q
+            state[(getattr(row, key), q)] = {
+                "k0": int(np.floor(h)),
+                "k1": int(np.ceil(h)),
+                "frac": h - np.floor(h),
+                "lo": float(row.lo),
+                "hi": float(row.hi),
+                "n": int(row.n),
+            }
+
+    def _ranges_ref():
+        return ray.put(
+            {
+                sk: (st["lo"], st["hi"])
+                for sk, st in state.items()
+            }
+        )
+
+    for _ in range(refine_iters):
+        ranges_ref = _ranges_ref()
+
+        def hist(batch: pd.DataFrame) -> pd.DataFrame:
+            ranges = ray.get(ranges_ref)
+            rows = {"skey": [], "q": [], "bin": [], "cnt": []}
+            for gkey, g in batch.groupby(key, sort=False):
+                vals = g[value].to_numpy(dtype=np.float64)
+                for q in qs:
+                    lo, hi = ranges[(gkey, q)]
+                    below = int((vals < lo).sum())
+                    if hi > lo:
+                        inr = vals[(vals >= lo) & (vals < hi)]
+                        idx = ((inr - lo) / (hi - lo) * bins).astype(np.int64)
+                        idx = np.clip(idx, 0, bins - 1)
+                        counts = np.bincount(idx, minlength=bins)
+                        nz = np.nonzero(counts)[0]
+                    else:
+                        nz, counts = np.array([], dtype=int), None
+                    rows["skey"].extend([gkey] * (len(nz) + 1))
+                    rows["q"].extend([q] * (len(nz) + 1))
+                    rows["bin"].extend([-1] + nz.tolist())  # -1 row: below
+                    rows["cnt"].extend(
+                        [below] + (counts[nz].tolist() if len(nz) else [])
+                    )
+            return pd.DataFrame(rows)
+
+        parts = _to_table(
+            ds.map_batches(hist, batch_format="pandas")
+        ).to_pandas()
+        agg = parts.groupby(["skey", "q", "bin"], as_index=False)["cnt"].sum()
+        for (gkey, q), grp in agg.groupby(["skey", "q"]):
+            st = state[(gkey, q)]
+            lo, hi = st["lo"], st["hi"]
+            if hi <= lo:
+                continue  # degenerate: answer is lo
+            below = int(grp.loc[grp["bin"] == -1, "cnt"].sum())
+            hgrp = grp[grp["bin"] >= 0].sort_values("bin")
+            edges = np.linspace(lo, hi, bins + 1)
+            cum = below
+            b0 = b1 = None
+            for brow in hgrp.itertuples():
+                nxt = cum + brow.cnt
+                if b0 is None and nxt > st["k0"]:
+                    b0 = brow.bin
+                if nxt > st["k1"]:
+                    b1 = brow.bin
+                    break
+                cum = nxt
+            if b0 is None:  # both ranks at/above range top (vals == hi)
+                b0 = b1 = bins - 1
+            if b1 is None:
+                b1 = bins - 1
+            st["lo"], st["hi"] = float(edges[b0]), float(edges[b1 + 1])
+
+    # final pass: gather in-range values + exact below-counts
+    ranges_ref = _ranges_ref()
+
+    def gather(batch: pd.DataFrame) -> pd.DataFrame:
+        ranges = ray.get(ranges_ref)
+        rows = {"skey": [], "q": [], "val": [], "below": []}
+        for gkey, g in batch.groupby(key, sort=False):
+            vals = g[value].to_numpy(dtype=np.float64)
+            for q in qs:
+                lo, hi = ranges[(gkey, q)]
+                below = int((vals < lo).sum())
+                inr = vals[(vals >= lo) & (vals <= hi)]
+                rows["skey"].extend([gkey] * (len(inr) + 1))
+                rows["q"].extend([q] * (len(inr) + 1))
+                rows["val"].extend([np.nan] + inr.tolist())
+                rows["below"].extend([below] + [0] * len(inr))
+        return pd.DataFrame(rows)
+
+    gathered = _to_table(ds.map_batches(gather, batch_format="pandas")).to_pandas()
+    out: dict[tuple[str, float], float] = {}
+    for (gkey, q), grp in gathered.groupby(["skey", "q"]):
+        st = state[(gkey, q)]
+        below = int(grp["below"].sum())
+        vals = np.sort(grp["val"].dropna().to_numpy(dtype=np.float64))
+        i0 = st["k0"] - below
+        i1 = st["k1"] - below
+        # clamp: float binning can place a rank one slot outside
+        i0 = min(max(i0, 0), len(vals) - 1)
+        i1 = min(max(i1, 0), len(vals) - 1)
+        v0, v1 = vals[i0], vals[i1]
+        out[(gkey, q)] = float(v0 + st["frac"] * (v1 - v0))
+    return out
+
+
+def q_events_quantiles(sf_dir: str, method: str = "colocate") -> pa.Table:
+    """EXACT grouped quantiles (median + p90 of event value per type).
+
+    ``method="colocate"`` (default): groups co-located by a hash
+    partition on the group key, one vectorized ``np.quantile`` each
+    (linear interpolation — DuckDB ``QUANTILE_CONT`` semantics) —
+    right while a group fits one partition. ``method="histogram"``:
+    the beyond-memory path (``grouped_quantiles_histogram``) — k
+    streaming passes, no co-location, exact to the same interpolation;
+    equality between the two is test-pinned."""
     import numpy as np
     import pandas as pd
 
     events = _read(sf_dir, "events", columns=["event_type", "value"])
+
+    if method == "histogram":
+        qmap = grouped_quantiles_histogram(
+            events, "event_type", "value", [0.5, 0.9]
+        )
+        counts = (
+            _to_table(
+                events.map_batches(
+                    lambda b: b.groupby("event_type", as_index=False)["value"]
+                    .count()
+                    .rename(columns={"value": "n"}),
+                    batch_format="pandas",
+                )
+            )
+            .to_pandas()
+            .groupby("event_type", as_index=False)["n"]
+            .sum()
+        )
+        counts["median_value"] = [
+            qmap[(e, 0.5)] for e in counts["event_type"]
+        ]
+        counts["p90_value"] = [qmap[(e, 0.9)] for e in counts["event_type"]]
+        result = pa.Table.from_pandas(
+            counts[["event_type", "median_value", "p90_value", "n"]].astype(
+                {"n": "int64"}
+            ),
+            preserve_index=False,
+        )
+        return _round(result, {"median_value": 4, "p90_value": 4})
 
     def quantiles(part: pd.DataFrame) -> pd.DataFrame:
         out = {"event_type": [], "median_value": [], "p90_value": [], "n": []}

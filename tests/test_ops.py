@@ -304,6 +304,65 @@ class TestEvaluatePairs:
         assert mean["cer"] == pytest.approx(per["cer"].mean(), abs=1e-6)
 
 
+class TestHistogramQuantiles:
+    def test_matches_colocated_exact_path(self, ray_session):
+        """The beyond-memory histogram-refine path equals the
+        co-located np.quantile path bit-for-bit (same interpolation,
+        exact final gather)."""
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops.relational import q_events_quantiles
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            q_events_quantiles(sf, method="colocate")
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        b = (
+            q_events_quantiles(sf, method="histogram")
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+
+    def test_adversarial_distributions(self, ray_session):
+        """Heavy ties, single-value groups, and a huge outlier range —
+        the cases where naive binning drifts — still come out exact."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.relational import (
+            grouped_quantiles_histogram,
+        )
+
+        rng = np.random.RandomState(11)
+        frames = []
+        # group A: 10k values, 90% ties at 1.0, huge outliers
+        a_vals = np.concatenate(
+            [np.ones(9000), rng.uniform(1e6, 1e9, 1000)]
+        )
+        frames.append(pd.DataFrame({"g": "A", "v": a_vals}))
+        # group B: single value
+        frames.append(pd.DataFrame({"g": "B", "v": [42.0]}))
+        # group C: uniform
+        frames.append(pd.DataFrame({"g": "C", "v": rng.uniform(0, 1, 5000)}))
+        df = pd.concat(frames, ignore_index=True).sample(
+            frac=1.0, random_state=3
+        )
+        ds = rd.from_pandas(df).repartition(8)
+        got = grouped_quantiles_histogram(ds, "g", "v", [0.5, 0.9])
+        for g, grp in df.groupby("g"):
+            for q in (0.5, 0.9):
+                want = float(np.quantile(grp["v"].to_numpy(), q))
+                assert got[(g, q)] == pytest.approx(want, rel=0, abs=1e-9), (
+                    g, q,
+                )
+
+
 class TestNgramMaxDfGuard:
     def test_hot_shingle_dropped_near_dups_kept(self, ray_session, tmp_path):
         """A stop shingle shared by hundreds of docs must not generate
@@ -548,6 +607,63 @@ class TestAntiSemiJoin:
         semi_u = set(_anti_semi(sf, pred, keep_matched=True)["c_custkey"].to_pylist())
         assert not anti_u & semi_u
         assert len(anti_u) + len(semi_u) == total
+
+
+class TestAsofSalted:
+    def test_equals_unsalted_on_events(self, ray_session):
+        """Salted (user, time-bucket) partitioning with boundary stitch
+        must reproduce the single-partition-per-user result exactly —
+        1-day buckets force many cross-bucket carries."""
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops.relational import q_events_asof
+
+        sf = "/root/testdata/sf0.001"
+        a = (
+            q_events_asof(sf)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            q_events_asof(sf, salted=True, bucket_sec=86400)
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+
+    def test_carry_crosses_empty_buckets(self, ray_session, tmp_path):
+        """A purchase in bucket 0 must be found by an error five empty
+        buckets later (the carried-forward stitch row)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.relational import q_events_asof
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        day = np.timedelta64(86400, "s")
+        rows = {
+            "event_id": pa.array([1, 2, 3], type=pa.int64()),
+            "user_id": pa.array([7, 7, 8], type=pa.int64()),
+            "event_type": pa.array(["purchase", "error", "error"]),
+            "value": pa.array([55.0, 0.0, 0.0]),
+            "ts": pa.array([base, base + 5 * day + np.timedelta64(30, "s"),
+                            base + 2 * day]),
+            "props": pa.array(["", "", ""]),
+        }
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(pa.table(rows), sf / "events.parquet")
+        out = (
+            q_events_asof(str(sf), salted=True, bucket_sec=86400)
+            .to_pandas()
+            .set_index("event_id")
+        )
+        assert out.loc[2, "purchase_value"] == 55.0
+        assert out.loc[2, "gap_sec"] == 5 * 86400 + 30
+        assert 3 not in out.index  # user 8 has no purchase
 
 
 class TestDimJoinSizeGate:
