@@ -59,6 +59,7 @@ class _Word:
     end: int = 0
     kind: str = "word"
     guessed: float | None = None  # beam-guesser rescored score, if guessed
+    language: str | None = None   # set by a secondary-alphabet re-guess
 
 
 @dataclass
@@ -152,7 +153,8 @@ def _resolve_hyphenation(
         first.subs_type, first.subs_content = HYP_PART2, subs
 
 
-def _guess_words(lines: list[_Line], lex: Lexicon, glyph_candidates_fn) -> None:
+def _guess_words(lines: list[_Line], lex: Lexicon, glyph_candidates_fn,
+                 other_alphabet_guessers=None) -> None:
     """Beam-guesser content assignment — the FullSegmentationGuesser
     serving path (``core/text/FullSegmentationGuesser.scala:375-396``):
     per-word beam over per-glyph candidate lists, geometric-mean
@@ -162,20 +164,33 @@ def _guess_words(lines: list[_Line], lex: Lexicon, glyph_candidates_fn) -> None:
     the identity classifier (every glyph certain) the winner is the
     original text and the rescored score equals the direct lexicon
     confidence — pinned by tests, so the default fast path skips the
-    beam without changing results."""
-    from .guesser import best_guess
+    beam without changing results.
+
+    After the primary guess, a word matching a secondary-alphabet
+    regex is RE-guessed without beam by that alphabet's classifier,
+    with a direction-flip re-sort when the scripts disagree
+    (``guessWithOtherAlphabets``,
+    ``FullSegmentationGuesser.scala:588-614``, applied post-primary
+    exactly as ``:398-405`` does); the winner carries its language."""
+    from .guesser import best_guess, guess_with_other_alphabets
 
     for line in lines:
         for w in line.words:
             if _PUNCT_ONLY.fullmatch(w.text):
                 continue
-            candidates = glyph_candidates_fn(w.text)
-            if not candidates:
-                continue
-            text, score = best_guess(candidates, lex)
-            if text:
-                w.text = text
-                w.guessed = score
+            if glyph_candidates_fn is not None:
+                candidates = glyph_candidates_fn(w.text)
+                if candidates:
+                    text, score = best_guess(candidates, lex)
+                    if text:
+                        w.text = text
+                        w.guessed = score
+            if other_alphabet_guessers:
+                hit = guess_with_other_alphabets(
+                    w.text, not is_rtl_line(w.text), other_alphabet_guessers
+                )
+                if hit is not None:
+                    w.text, w.guessed, w.language = hit
 
 
 def _score_words(lines: list[_Line], lex: Lexicon) -> None:
@@ -388,6 +403,7 @@ def extract_turn(
     segmenter=None,
     dehyphenator=None,
     glyph_candidates_fn=None,
+    other_alphabet_guessers=None,
     token_rules=None,
     include_glyphs: bool = True,
     combine_unspaced: bool = False,
@@ -448,8 +464,9 @@ def extract_turn(
         lines = [l for l in lines if l.words]
         if not lines:
             continue
-        if glyph_candidates_fn is not None:
-            _guess_words(lines, lex, glyph_candidates_fn)
+        if glyph_candidates_fn is not None or other_alphabet_guessers:
+            _guess_words(lines, lex, glyph_candidates_fn,
+                         other_alphabet_guessers)
         _resolve_hyphenation(lines, lex, dehyphenator)
         _score_words(lines, lex)
         all_lines.extend(lines)

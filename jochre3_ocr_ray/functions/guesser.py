@@ -89,3 +89,68 @@ def best_guess(
         if best is None or score > best[1]:
             best = (guess.text, score)
     return best if best is not None else ("", 1.0)
+
+
+# ---------------------------------------------- other-alphabet re-guess
+# reference StringUtils.scala:18-40 — language-code direction table
+RTL_LANGUAGES = frozenset(
+    {"ar", "dv", "fa", "ha", "he", "iw", "ji", "ps", "sd", "ug", "ur", "yi"}
+)
+
+
+def is_left_to_right_language(language: str) -> bool:
+    """``StringUtils.isLeftToRight`` (``StringUtils.scala:37-39``)."""
+    return language not in RTL_LANGUAGES
+
+
+@dataclass(frozen=True)
+class GlyphGuesserForAnotherAlphabet:
+    """A secondary guesser dispatched to words the MAIN guesser marked
+    as another script (reference
+    ``GlyphGuesserForAnotherAlphabet.scala:10-18``): ``regex`` selects
+    the marked words, ``glyph_candidates_fn`` is that alphabet's
+    classifier hook."""
+
+    language: str
+    pattern: "object"  # compiled regex; fullmatch like Scala Regex.matches
+    glyph_candidates_fn: "object"
+
+
+def guess_word_without_beam(
+    candidates: list[list[tuple[str, float]]],
+) -> tuple[str, float]:
+    """Top-1 per glyph, geometric-mean confidence — the no-beam word
+    guess (``FullSegmentationGuesser.scala:407-433``). No lexicon
+    rescoring: the secondary alphabet is outside the main lexicon."""
+    if not candidates:
+        return "", 1.0
+    text = "".join(pos[0][0] for pos in candidates if pos)
+    logs = [math.log(max(pos[0][1], 1e-300)) for pos in candidates if pos]
+    score = math.exp(sum(logs) / len(logs)) if logs else 1.0
+    return text, score
+
+
+def guess_with_other_alphabets(
+    word_text: str,
+    word_is_ltr: bool,
+    guessers: "list[GlyphGuesserForAnotherAlphabet]",
+) -> "tuple[str, float, str] | None":
+    """Apply the FIRST matching secondary guesser
+    (``FullSegmentationGuesser.guessWithOtherAlphabets``,
+    ``FullSegmentationGuesser.scala:588-614``): when the secondary
+    language's direction differs from the word's, the glyphs are
+    re-sorted for the new direction (text analog: the character
+    sequence reverses) before the no-beam re-guess. Returns
+    (new_text, confidence, language) or None when no regex matches."""
+    for g in guessers:
+        if g.pattern.fullmatch(word_text) is None:
+            continue
+        ltr = is_left_to_right_language(g.language)
+        text = word_text if word_is_ltr == ltr else word_text[::-1]
+        new_text, score = guess_word_without_beam(
+            g.glyph_candidates_fn(text)
+        )
+        if new_text:
+            return new_text, score, g.language
+        return None
+    return None

@@ -201,6 +201,84 @@ class TestBeamWiring:
         assert words[0]["confidence"] == pytest.approx(0.8 * 0.5)
 
 
+class TestOtherAlphabetReGuess:
+    def _hebrew_guesser(self, language="yi", conf=0.8):
+        import re
+
+        from jochre3_ocr_ray.functions.guesser import (
+            GlyphGuesserForAnotherAlphabet,
+        )
+
+        table = {"א": "a", "ב": "b", "ג": "g"}
+
+        def classifier(text):
+            return [[(table.get(c, c), conf)] for c in text]
+
+        return GlyphGuesserForAnotherAlphabet(
+            language=language,
+            pattern=re.compile(r"[֐-׿]+"),
+            glyph_candidates_fn=classifier,
+        )
+
+    def test_secondary_guesser_changes_winner(self, lex):
+        """A Hebrew-script word in a mixed-script turn is re-guessed by
+        the secondary alphabet's classifier — the main result changes
+        (GlyphGuesserForAnotherAlphabet.scala:10-18 dispatch applied
+        as FullSegmentationGuesser.scala:588-614)."""
+        g = self._hebrew_guesser()
+        text = "hello אבג world"
+        base = extract_turn(text, 0, lex)
+        assert "אבג" in base["extracted_text"]
+        out = extract_turn(text, 0, lex, other_alphabet_guessers=[g])
+        words = [
+            w for b in out["blocks"] for l in b["lines"] for w in l["words"]
+        ]
+        texts = [w["text"] for w in words]
+        # yi is RTL and the word renders RTL: no direction flip
+        assert "abg" in texts
+        hit = words[texts.index("abg")]
+        # no-beam confidence: geometric mean of glyph confidences,
+        # NO lexicon rescore (secondary alphabet is outside the lexicon)
+        assert hit["confidence"] == pytest.approx(0.8)
+        # latin words untouched
+        assert "hello" in texts and "world" in texts
+
+    def test_direction_flip_reverses_glyph_order(self, lex):
+        """When the secondary language's direction differs from the
+        word's rendering direction, glyphs re-sort (text reverses)
+        before the re-guess (FullSegmentationGuesser.scala:604-609)."""
+        from jochre3_ocr_ray.functions.guesser import (
+            guess_with_other_alphabets,
+        )
+
+        g_ltr = self._hebrew_guesser(language="en")  # LTR secondary
+        hit = guess_with_other_alphabets("אבג", False, [g_ltr])
+        assert hit is not None
+        assert hit[0] == "gba"  # reversed before classification
+        g_rtl = self._hebrew_guesser(language="yi")
+        hit = guess_with_other_alphabets("אבג", False, [g_rtl])
+        assert hit[0] == "abg"  # same direction: no flip
+
+    def test_first_matching_guesser_wins(self, lex):
+        from jochre3_ocr_ray.functions.guesser import (
+            guess_with_other_alphabets,
+        )
+
+        first = self._hebrew_guesser(language="yi", conf=0.9)
+        second = self._hebrew_guesser(language="he", conf=0.1)
+        hit = guess_with_other_alphabets("א", False, [first, second])
+        assert hit[1] == pytest.approx(0.9)
+        assert hit[2] == "yi"
+
+    def test_no_match_returns_none(self, lex):
+        from jochre3_ocr_ray.functions.guesser import (
+            guess_with_other_alphabets,
+        )
+
+        g = self._hebrew_guesser()
+        assert guess_with_other_alphabets("latin", True, [g]) is None
+
+
 class TestSkewEstimate:
     def test_no_indent_is_zero(self):
         assert estimate_indent_skew("plain line\nanother line") == 0.0
