@@ -67,6 +67,23 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("stats")
     p.add_argument("work_dir")
 
+    # single-payload serving entry — the REST AnalysisApp analog
+    # (api/analysis/AnalysisApp.scala:25-130: POST one file, get the
+    # analyzed output formats back) without dragging in a web
+    # framework: one payload in (file or stdin), the three output
+    # formats out as JSON.
+    p = sub.add_parser("serve")
+    p.add_argument("payload", nargs="?", default="-",
+                   help="payload file, or '-' for stdin")
+    p.add_argument("--format", dest="fmt", default="all",
+                   choices=["text", "processed", "alto", "all"])
+
+    p = sub.add_parser("prep")
+    p.add_argument("input_dir")
+    p.add_argument("out_dir")
+    p.add_argument("--kind", default="lines", choices=["lines", "words"])
+    p.add_argument("--val-every", type=int, default=10)
+
     p = sub.add_parser("evaluate")
     p.add_argument("predicted_dir")
     p.add_argument("expected_dir")
@@ -115,6 +132,31 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 0
 
+    if args.cmd == "serve":
+        # pure-kernel path: one request, no Ray session (the same
+        # extract_turn the distributed stage applies per batch)
+        payload = (
+            sys.stdin.read()
+            if args.payload == "-"
+            else open(args.payload, encoding="utf-8").read()
+        )
+        from .functions.extract import extract_turn
+        from .functions.lexicon import Lexicon
+        from .functions.render_alto import render_alto
+
+        result = extract_turn(payload, 0, Lexicon.load())
+        out = {"confidence": round(result["confidence"], 6)}
+        if args.fmt in ("text", "all"):
+            out["text"] = result["extracted_text"]
+        if args.fmt in ("processed", "all"):
+            out["processed_text"] = result["processed_text"]
+        if args.fmt in ("alto", "all"):
+            out["alto_xml"] = render_alto(
+                "payload_0", result["blocks"], result["confidence"]
+            )
+        print(json.dumps(out))
+        return 0
+
     ray = _ray_session()
     try:
         from .pipelines.extract import run_assembly, run_extraction, run_pipeline
@@ -144,6 +186,15 @@ def main(argv: list[str] | None = None) -> int:
                 "mean_cer": float(mean["cer"]),
                 "mean_bow_cosine": float(mean["bow_cosine"]),
             }
+        elif args.cmd == "prep":
+            from .pipelines.corpus_prep import prepare_training_corpus
+
+            metrics = prepare_training_corpus(
+                args.input_dir,
+                args.out_dir,
+                kind=args.kind,
+                validation_one_every=args.val_every,
+            )
         elif args.cmd == "assemble":
             metrics = run_assembly(
                 f"{args.work_dir}/turns",

@@ -138,6 +138,29 @@ class TestConversationAssembly:
         assert np.allclose(merged["confidence_a"], merged["confidence_b"])
 
 
+class TestServeCLI:
+    def test_single_payload_three_formats(self, tmp_path, capsys):
+        """The serve subcommand (AnalysisApp analog): one payload in,
+        text / processed / ALTO out, consistent with extract_turn."""
+        import json
+
+        from jochre3_ocr_ray.__main__ import main
+        from jochre3_ocr_ray.functions.render_alto import parse_alto
+
+        payload = tmp_path / "req.txt"
+        payload.write_text("Hello <b>world</b> test-\ning one two")
+        assert main(["serve", str(payload)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["text"] == "Hello world test-\ning one two"
+        assert out["processed_text"] == "Hello world testing one two"
+        parsed = parse_alto(out["alto_xml"])  # round-trips
+        assert 0 < out["confidence"] <= 1
+        # single-format request narrows the response
+        assert main(["serve", str(payload), "--format", "text"]) == 0
+        out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert "alto_xml" not in out2 and out2["text"] == out["text"]
+
+
 class TestResume:
     def test_resume_skips_completed_shards(self, ray_session, small_corpus, tmp_path):
         out = tmp_path / "turns"
