@@ -828,11 +828,11 @@ def q_events_asof(sf_dir: str, salted: bool = False,
             tagged_left, tagged_right, bucket_sec, n_parts, combine
         )
     else:
+        refs = tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs()
+        # cap partitions at the input block count: extra partitions
+        # only multiply split/combine task overhead
         parts = _exchange(
-            tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs(),
-            "user_id",
-            n_parts,
-            combine,
+            refs, "user_id", max(1, min(n_parts, len(refs))), combine
         )
     tables = [t for t in ray.get(parts) if t.num_rows]
     if not tables:

@@ -289,7 +289,11 @@ def assemble_conversations_exchange(
         out = assemble_bucket_table(df)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    parts = _exchange(keyed.to_arrow_refs(), "_k", num_parts, combine)
+    refs = keyed.to_arrow_refs()
+    # more partitions than input blocks only multiplies split/combine
+    # task count (blocks x parts objects) without adding parallelism
+    num_parts = max(1, min(num_parts, len(refs)))
+    parts = _exchange(refs, "_k", num_parts, combine)
     tables = [t for t in ray.get(parts) if t.num_rows]
     if not tables:
         return pa.table({}).to_pandas()
