@@ -104,14 +104,80 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
-def ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
+def kmeans_refine(
+    ds: "ray.data.Dataset",
+    centroids: np.ndarray,
+    *,
+    iters: int = 5,
+    tol: float = 1e-4,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed spherical k-means refinement of IVF centroids — the
+    scale job the seeded-sample init hands off to.
+
+    Per iteration: centroids broadcast once (``ray.put``, k x dim —
+    tiny), every batch assigns its rows to the nearest centroid with
+    one matmul and emits per-centroid (sum-vector, count) PARTIALS
+    (k rows per batch, never data), the driver combines k rows and
+    renormalizes (cosine geometry). Empty clusters keep their old
+    centroid. Stops early when the max centroid movement drops under
+    ``tol``. Driver state is k x dim floats — corpus size never
+    matters; each iteration is one streaming pass."""
+    k, dim = centroids.shape
+    for _ in range(iters):
+        cref = ray.put(centroids)
+
+        def partial(batch: pd.DataFrame) -> pd.DataFrame:
+            cents = ray.get(cref)
+            rows = _normalize(
+                np.stack(batch[vec_col].to_numpy()).astype(np.float64)
+            )
+            assign = np.argmax(rows @ cents.T, axis=1)
+            sums = np.zeros_like(cents)
+            np.add.at(sums, assign, rows)
+            counts = np.bincount(assign, minlength=len(cents))
+            return pd.DataFrame(
+                {
+                    "cid": np.arange(len(cents), dtype=np.int64),
+                    "vec": [s.tobytes() for s in sums],
+                    "n": counts.astype(np.int64),
+                }
+            )
+
+        parts = ds.map_batches(
+            partial, batch_format="pandas"
+        ).to_pandas()
+        sums = np.zeros((k, dim))
+        counts = np.zeros(k, dtype=np.int64)
+        for row in parts.itertuples():
+            sums[row.cid] += np.frombuffer(row.vec, dtype=np.float64)
+            counts[row.cid] += row.n
+        new = centroids.copy()
+        nonempty = counts > 0
+        new[nonempty] = _normalize(sums[nonempty] / counts[nonempty, None])
+        move = float(np.abs(new - centroids).max())
+        centroids = new
+        if move < tol:
+            break
+    return centroids
+
+
+def ivf_topk(
+    sf_dir: str,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    refine_iters: int = 0,
+) -> pa.Table:
     """IVF-bucketed approximate top-k — the result table.
 
-    Centroids are a fixed seeded sample of the data (read with a
+    Centroids start as a fixed seeded sample of the data (read with a
     pushed-down ``vec_id < n_centroids`` filter — NOT a whole-table
-    driver read; at real scale swap in ``ds.random_sample`` + a
-    k-means refinement job); vectors go to their nearest centroid's
-    bucket; each query probes only the ``nprobe`` nearest buckets."""
+    driver read); ``refine_iters > 0`` runs the distributed spherical
+    k-means job (``kmeans_refine``) on them — the production
+    bucket-balance path (default 0 keeps the driver query
+    deterministic against its oracle). Vectors go to their nearest
+    centroid's bucket; each query probes only the ``nprobe`` nearest
+    buckets."""
     import pyarrow.parquet as pq
 
     sample = pq.read_table(
@@ -120,6 +186,12 @@ def ivf_topk(sf_dir: str, n_centroids: int = 16, nprobe: int = 4) -> pa.Table:
         filters=[("vec_id", "<", n_centroids)],
     ).to_pandas().sort_values("vec_id")
     centroids = _normalize(np.stack(sample["embedding"].to_numpy()).astype(np.float64))
+    if refine_iters:
+        centroids = kmeans_refine(
+            _read(sf_dir, "embeddings", columns=["embedding"]),
+            centroids,
+            iters=refine_iters,
+        )
     qids, qmat = _query_matrix(sf_dir)
     probe = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
     ref = ray.put((qids, qmat, centroids, probe))

@@ -58,6 +58,67 @@ class TestIvfRecall:
         assert summary["recall_ok"].all()
 
 
+class TestKmeansRefine:
+    def test_refinement_recovers_blobs(self, ray_session, tmp_path):
+        """A deliberately bad init (all k centroids sampled from ONE
+        blob) must migrate to cover all blobs and raise the mean
+        max-cosine assignment quality; the run is deterministic."""
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.similarity import _normalize, kmeans_refine
+
+        rng = np.random.RandomState(5)
+        centers = _normalize(rng.standard_normal((4, 32)) * 4)
+        mat = np.vstack(
+            [centers[i % 4] * 4 + rng.standard_normal(32) * 0.3
+             for i in range(600)]
+        )
+        sf = _write_embeddings(tmp_path, mat)
+        ds = rd.read_parquet(f"{sf}/embeddings.parquet")
+        norm = _normalize(mat.astype(np.float64))
+        # bad init: 4 near-identical centroids from blob 0's region
+        init = _normalize(
+            centers[0] * 4 + rng.standard_normal((4, 32)) * 0.05
+        )
+
+        def quality(cents):
+            return float(np.max(norm @ cents.T, axis=1).mean())
+
+        refined = kmeans_refine(ds, init.copy(), iters=10)
+        assert quality(refined) > quality(init) + 0.05
+        # every blob claimed its own centroid
+        assign = np.argmax(norm @ refined.T, axis=1)
+        assert len(set(assign.tolist())) == 4
+        # deterministic (fixed data, fixed init, no RNG in the loop)
+        again = kmeans_refine(ds, init.copy(), iters=10)
+        assert np.allclose(refined, again)
+
+    def test_refined_ivf_no_worse(self, ray_session, tmp_path):
+        """ivf_topk(refine_iters>0) recall >= the seeded-init recall
+        on clustered data."""
+        from jochre3_ocr_ray.ops.similarity import ivf_topk, q_ann_cosine_topk
+
+        rng = np.random.RandomState(17)
+        centers = rng.standard_normal((8, 64)) * 5
+        mat = np.vstack([
+            centers[i % 8] + rng.standard_normal(64) * 0.5 for i in range(400)
+        ])
+        sf = _write_embeddings(tmp_path, mat)
+        exact = q_ann_cosine_topk(sf).to_pandas()
+
+        def mean_recall(df):
+            rs = []
+            for qid in range(5):
+                e = set(exact[exact.query_id == qid]["vec_id"])
+                a = set(df[df.query_id == qid]["vec_id"])
+                rs.append(len(e & a) / len(e))
+            return np.mean(rs)
+
+        base = mean_recall(ivf_topk(sf).to_pandas())
+        refined = mean_recall(ivf_topk(sf, refine_iters=3).to_pandas())
+        assert refined >= base - 1e-9, (base, refined)
+
+
 class TestEmbeddingLshNearDup:
     def test_planted_duplicates_recovered(self, ray_session, tmp_path):
         from jochre3_ocr_ray.ops.dedup import (
