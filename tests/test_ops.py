@@ -418,6 +418,48 @@ class TestNgramMaxDfGuard:
         e_pairs = {(int(a), int(b)) for a, b in zip(exact.id_a, exact.id_b)}
         assert (300, 301) in e_pairs and (302, 303) in e_pairs
 
+    def test_joinback_twin_equals_counted(self, ray_session, tmp_path):
+        """The join-back variant (carries shingle sets) and the counted
+        inverted-index variant are the same operator: identical pair
+        sets and jaccard values on a planted corpus."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import (
+            ngram_exact_pairs,
+            ngram_exact_pairs_counted,
+        )
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        rng = np.random.RandomState(9)
+        vocab = [f"w{i}" for i in range(200)]
+        texts = [" ".join(rng.choice(vocab, 25)) for _ in range(60)]
+        texts.append(texts[0])                      # exact dup
+        texts.append(texts[1].replace("w", "x", 1))  # near dup
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        ds = rd.read_parquet(str(sf / "documents.parquet"))
+        a = (
+            _to_table(ngram_exact_pairs(ds, threshold=0.5))
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        b = (
+            _to_table(ngram_exact_pairs_counted(ds, threshold=0.5))
+            .to_pandas()
+            .sort_values(["id_a", "id_b"])
+            .reset_index(drop=True)
+        )
+        assert len(a) > 0
+        pd.testing.assert_frame_equal(a, b[a.columns], check_like=True)
+
 
 class TestRunEvaluationBucketed:
     def test_co_partitioned_join_no_broadcast(self, ray_session, tmp_path):
