@@ -290,3 +290,70 @@ class TestBoilerplateNesting:
 
         html = "<p>content here</p></nav>"
         assert [b.lines for b in segment(html)] == [["content here"]]
+
+
+class TestTransformChain:
+    """Annotated transform fold + inverse-metadata carry
+    (Jochre.scala:318-327 forward, :388 inverse)."""
+
+    def test_matches_extraction_normalize_path(self):
+        from jochre3_ocr_ray.functions.normalize import deskew, simplify
+        from jochre3_ocr_ray.functions.transform_chain import TransformChain
+
+        text = "   indented line one\n   line two here\n    line three x"
+        chain = TransformChain()
+        out, metas = chain.apply(text)
+        expect, skew = deskew(simplify(text))
+        assert out == expect
+        assert chain.skew(metas) == skew
+
+    def test_offsets_invert_to_raw(self):
+        import re
+
+        from jochre3_ocr_ray.functions.transform_chain import TransformChain
+
+        raw = "   alpha beta\n   gamma delta\n      epsilon zeta"
+        chain = TransformChain()
+        out, metas = chain.apply(raw)
+        assert out != raw
+        # every word span in the TRANSFORMED text maps back to the
+        # identical substring of the RAW text
+        for m in re.finditer(r"\w+", out):
+            s, e = chain.invert_span(m.start(), m.end(), metas)
+            assert raw[s:e] == m.group(0), (m.group(0), raw[s:e])
+
+    def test_spans_to_raw_on_extraction_row(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.transform_chain import (
+            TransformChain,
+            spans_to_raw,
+        )
+
+        # systematic 3-char indent, single spaces: deskew removes the
+        # full indent and the segmentation render is identity on the
+        # chain output, so extraction spans index the chain output
+        raw = "   alpha beta\n   gamma delta\n   epsilon zeta"
+        chain = TransformChain()
+        out, metas = chain.apply(raw)
+        row = extract_turn(raw, 0, lexicon)
+        assert row["extracted_text"] == out
+        raw_blocks = spans_to_raw(row["blocks"], metas, chain)
+        for block in raw_blocks:
+            for line in block["lines"]:
+                for word in line["words"]:
+                    s, e = word["span"]["start"], word["span"]["end"]
+                    assert raw[s:e] == word["text"]
+                    for g in word.get("glyphs") or []:
+                        gs, ge = g["span"]["start"], g["span"]["end"]
+                        assert raw[gs:ge] == g["text"]
+        # originals untouched
+        assert row["blocks"][0]["lines"][0]["words"][0]["span"]["start"] == 0
+
+    def test_identity_when_no_skew(self):
+        from jochre3_ocr_ray.functions.transform_chain import TransformChain
+
+        raw = "plain line\nanother line"
+        chain = TransformChain()
+        out, metas = chain.apply(raw)
+        assert out == raw
+        assert chain.invert_offset(5, metas) == 5
