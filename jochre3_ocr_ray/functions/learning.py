@@ -1,0 +1,184 @@
+"""Trainable glyph classifier — the GlyphTrainer / ModelBuilder analog.
+
+Reference: ``core/learning/GlyphTrainer.scala`` trains the DJL CNN
+over ``GlyphDataset`` examples (28x28 crops -> alphabet classes) and
+``ModelBuilder`` persists/loads the resulting model which
+``GlyphGuesser.guess`` then serves per glyph. No torch exists in this
+environment, so the model here is a multinomial naive-Bayes
+classifier over the glyph's crop-window context (center/left/right
+characters — the text analog of the pixel crop), which is:
+
+* **trainable the same way** — one streaming pass over the prepared
+  example table (``pipelines/corpus_prep.glyph_examples``) emitting
+  per-batch (class, feature) count PARTIALS, combined once on the
+  driver (counts are tiny: |alphabet| x 3|alphabet|);
+* **servable the same way** — ``as_candidates_fn()`` returns the
+  ``glyph_candidates_fn`` hook the beam guesser consumes
+  (``functions/extract.py::_guess_words``), so a trained model drops
+  into the extraction pipeline exactly where ``GlyphGuesser`` does;
+* **persistable** — ``to_json`` / ``from_json`` (the model-zoo
+  save/load surface of ``ModelBuilder``).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass
+
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+
+def _norm_ctx(ch: str) -> str:
+    """Whitespace variants collapse to one boundary symbol."""
+    return " " if ch in ("", " ", "\n", "\t") else ch
+
+
+def _example_features(crop_text: str, crop_start: int, span_start: int) -> list[str]:
+    """(tagged) features of one training example: the center char and
+    its immediate neighbours inside the crop window."""
+    pos = span_start - crop_start
+    center = crop_text[pos] if pos < len(crop_text) else " "
+    left = crop_text[pos - 1] if pos > 0 else " "
+    right = crop_text[pos + 1] if pos + 1 < len(crop_text) else " "
+    return [f"c:{_norm_ctx(center)}", f"l:{_norm_ctx(left)}", f"r:{_norm_ctx(right)}"]
+
+
+def _word_features(word_text: str, i: int) -> list[str]:
+    """The SAME feature map at serving time, from a word's characters
+    (word boundaries are spaces in the rendered text, matching the
+    crop windows the model trained on)."""
+    center = word_text[i]
+    left = word_text[i - 1] if i > 0 else " "
+    right = word_text[i + 1] if i + 1 < len(word_text) else " "
+    return [f"c:{_norm_ctx(center)}", f"l:{_norm_ctx(left)}", f"r:{_norm_ctx(right)}"]
+
+
+@dataclass
+class GlyphClassifier:
+    """Multinomial NB over crop-context features; ``alpha`` is the
+    Laplace smoothing mass (unseen feature/class pairs stay possible,
+    so a corrupted center char can still be out-voted by context)."""
+
+    classes: list[str]
+    class_counts: dict[str, int]
+    feature_counts: dict[str, dict[str, int]]  # feature -> class -> n
+    alpha: float = 0.5
+
+    def _log_scores(self, features: list[str]) -> dict[str, float]:
+        total = sum(self.class_counts.values()) or 1
+        v = max(len(self.classes), 1)
+        out = {}
+        for cls in self.classes:
+            n_c = self.class_counts.get(cls, 0)
+            s = math.log((n_c + self.alpha) / (total + self.alpha * v))
+            for f in features:
+                n_fc = self.feature_counts.get(f, {}).get(cls, 0)
+                s += math.log(
+                    (n_fc + self.alpha) / (n_c + self.alpha * v)
+                )
+            out[cls] = s
+        return out
+
+    def predict(self, word_text: str, i: int, top_k: int = 5) -> list[tuple[str, float]]:
+        """Top-k (char, confidence) for position ``i`` — the
+        ``GlyphGuesser.guess(mat, glyph, k)`` serving call; confidences
+        are normalized posteriors."""
+        scores = self._log_scores(_word_features(word_text, i))
+        if not scores:
+            return [(word_text[i], 1.0)]
+        m = max(scores.values())
+        exp = {c: math.exp(s - m) for c, s in scores.items()}
+        z = sum(exp.values())
+        ranked = sorted(exp.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        return [(c, p / z) for c, p in ranked]
+
+    def as_candidates_fn(self, top_k: int = 5):
+        """The ``glyph_candidates_fn`` extraction hook: word text ->
+        per-position candidate lists for the beam."""
+
+        def fn(word_text: str) -> list[list[tuple[str, float]]]:
+            return [
+                self.predict(word_text, i, top_k)
+                for i in range(len(word_text))
+            ]
+
+        return fn
+
+    # ---- ModelBuilder surface
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "classes": self.classes,
+                "class_counts": self.class_counts,
+                "feature_counts": self.feature_counts,
+                "alpha": self.alpha,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, blob: str) -> "GlyphClassifier":
+        d = json.loads(blob)
+        return cls(
+            classes=d["classes"],
+            class_counts={k: int(v) for k, v in d["class_counts"].items()},
+            feature_counts={
+                f: {c: int(n) for c, n in m.items()}
+                for f, m in d["feature_counts"].items()
+            },
+            alpha=float(d["alpha"]),
+        )
+
+
+def train_glyph_classifier(
+    examples: "ray.data.Dataset",
+    alphabet: pa.Table,
+    *,
+    alpha: float = 0.5,
+) -> GlyphClassifier:
+    """One streaming training pass over the prepared glyph-example
+    table (``glyph_examples`` rows: label + crop window): each batch
+    collapses to (feature, class, n) partial counts — a few hundred
+    rows however large the corpus — combined once on the driver.
+    The GlyphTrainer epoch loop collapses to this single count pass
+    because NB has a closed-form fit; a gradient model would reuse the
+    same partial-combine shape per epoch."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        cls_rows: dict[str, int] = {}
+        for ex in batch.itertuples():
+            feats = _example_features(
+                ex.crop_text, ex.crop_start, ex.span_start
+            )
+            cls_rows[ex.label] = cls_rows.get(ex.label, 0) + 1
+            for f in feats:
+                rows[(f, ex.label)] = rows.get((f, ex.label), 0) + 1
+        out = pd.DataFrame(
+            [(f, c, n) for (f, c), n in rows.items()]
+            + [("__class__", c, n) for c, n in cls_rows.items()],
+            columns=["feature", "cls", "n"],
+        )
+        return out
+
+    parts = examples.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["feature", "cls"], as_index=False)["n"].sum()
+    class_counts = (
+        agg[agg["feature"] == "__class__"]
+        .set_index("cls")["n"]
+        .astype(int)
+        .to_dict()
+    )
+    feature_counts: dict[str, dict[str, int]] = {}
+    for row in agg[agg["feature"] != "__class__"].itertuples():
+        feature_counts.setdefault(row.feature, {})[row.cls] = int(row.n)
+    classes = [g for g in alphabet["glyph"].to_pylist() if g != ""]
+    return GlyphClassifier(
+        classes=classes,
+        class_counts=class_counts,
+        feature_counts=feature_counts,
+        alpha=alpha,
+    )

@@ -314,10 +314,12 @@ def glyph_examples(
         index, unk = ray.get(index_ref)
         rows: dict[str, list] = {
             "conv_id": [], "turn_idx": [], "glyph_idx": [], "label": [],
-            "class_idx": [], "crop_start": [], "crop_end": [],
+            "class_idx": [], "span_start": [], "crop_start": [],
+            "crop_end": [], "crop_text": [],
         }
         for page in batch.to_pylist():
-            n = len(page["extracted_text"])
+            text = page["extracted_text"]
+            n = len(text)
             g_i = 0
             for _, line in _page_lines(page):
                 for word in line["words"]:
@@ -325,13 +327,16 @@ def glyph_examples(
                         s = glyph["span"]["start"]
                         e = glyph["span"]["end"]
                         label = simplify(glyph["text"])
+                        cs, ce = max(0, s - 1), min(n, e + 1)
                         rows["conv_id"].append(page["conv_id"])
                         rows["turn_idx"].append(page["turn_idx"])
                         rows["glyph_idx"].append(g_i)
                         rows["label"].append(label)
                         rows["class_idx"].append(index.get(label, unk))
-                        rows["crop_start"].append(max(0, s - 1))
-                        rows["crop_end"].append(min(n, e + 1))
+                        rows["span_start"].append(s)
+                        rows["crop_start"].append(cs)
+                        rows["crop_end"].append(ce)
+                        rows["crop_text"].append(text[cs:ce])
                         g_i += 1
         return pa.table(
             {
@@ -340,8 +345,10 @@ def glyph_examples(
                 "glyph_idx": pa.array(rows["glyph_idx"], type=pa.int64()),
                 "label": pa.array(rows["label"], type=pa.string()),
                 "class_idx": pa.array(rows["class_idx"], type=pa.int64()),
+                "span_start": pa.array(rows["span_start"], type=pa.int64()),
                 "crop_start": pa.array(rows["crop_start"], type=pa.int64()),
                 "crop_end": pa.array(rows["crop_end"], type=pa.int64()),
+                "crop_text": pa.array(rows["crop_text"], type=pa.string()),
             }
         )
 

@@ -185,3 +185,79 @@ class TestPrepareTrainingCorpus:
         assert res["rows"] > 0
         parts = {p.name for p in out.iterdir() if p.is_dir()}
         assert parts == {"split=train", "split=val"}
+
+
+class TestGlyphTrainer:
+    """GlyphTrainer/ModelBuilder analog: distributed NB fit over the
+    prepared glyph examples, served back through the beam hook."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, ray_session):
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jochre3_ocr_ray.functions.learning import train_glyph_classifier
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            corpus_alphabet,
+            glyph_examples,
+        )
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+
+        # 'o' only ever between letters; '0' only between digits
+        texts = (
+            ["continue the london force holt now"] * 30
+            + ["codes 102 305 800 901 count on gold"] * 30
+        )
+        import numpy as np
+
+        turns = rd.from_arrow(
+            pa.table(
+                {
+                    "conv_id": pa.array([f"c{i//4}" for i in range(len(texts))]),
+                    "turn_idx": pa.array(
+                        [i % 4 for i in range(len(texts))], type=pa.int32()
+                    ),
+                    "role": pa.array(["user"] * len(texts)),
+                    "text": pa.array(texts),
+                    "tool": pa.array([""] * len(texts)),
+                    "ts": pa.array(
+                        [np.datetime64("2026-01-01", "us")] * len(texts)
+                    ),
+                }
+            )
+        )
+        extracted = build_extraction(
+            turns, include_blocks=True, include_glyphs=True
+        )
+        alphabet = corpus_alphabet(extracted)
+        examples = glyph_examples(extracted, alphabet)
+        model = train_glyph_classifier(examples, alphabet)
+        return model
+
+    def test_clean_top1_recovers_center(self, trained):
+        for word, i, want in [("continue", 1, "o"), ("305", 1, "0"),
+                              ("force", 1, "o"), ("now", 1, "o")]:
+            top = trained.predict(word, i, top_k=3)
+            assert top[0][0] == want, (word, i, top)
+
+    def test_context_outvotes_corrupted_center(self, trained):
+        # '0' between letters was never seen in training: the letter
+        # context pushes 'o' to the top despite the corrupted center
+        top = trained.predict("c0ntinue", 1, top_k=3)
+        assert top[0][0] == "o", top
+
+    def test_e2e_beam_recovers_word(self, trained, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+
+        out = extract_turn(
+            "c0ntinue now", 0, lexicon,
+            glyph_candidates_fn=trained.as_candidates_fn(),
+        )
+        assert out["extracted_text"].startswith("continue")
+
+    def test_model_json_round_trip(self, trained):
+        from jochre3_ocr_ray.functions.learning import GlyphClassifier
+
+        again = GlyphClassifier.from_json(trained.to_json())
+        for word, i in [("continue", 1), ("305", 1), ("c0ntinue", 1)]:
+            assert again.predict(word, i) == trained.predict(word, i)
