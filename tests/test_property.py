@@ -11,6 +11,7 @@ Invariants:
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
@@ -124,3 +125,70 @@ class TestExtractTurnFuzz:
         assert out["skew"] >= 0.0
         # processed text never contains the line-break artifacts
         assert "\r" not in out["processed_text"]
+
+
+# ---- transform-chain inversion (round 3)
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # indent
+            st.text(
+                alphabet=st.characters(
+                    codec="utf-8",
+                    exclude_categories=("Cs", "Zl", "Zp", "Cc"),
+                ),
+                max_size=40,
+            ),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_transform_chain_offsets_invert_exactly(lines):
+    """For ANY indented multi-line payload: every offset of the
+    deskew-transformed text maps back to a raw offset holding the SAME
+    character (deskew only deletes, never reorders)."""
+    from jochre3_ocr_ray.functions.transform_chain import DeskewTransform
+
+    raw = "\n".join(" " * ind + body for ind, body in lines)
+    t = DeskewTransform()
+    out, meta = t.transform(raw)
+    for off in range(len(out)):
+        back = t.invert_offset(off, meta)
+        assert 0 <= back < len(raw)
+        assert raw[back] == out[off], (off, back)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6,
+            allow_nan=False, allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    st.sampled_from([0.1, 0.5, 0.9, 0.99]),
+)
+def test_histogram_quantile_kernel_matches_numpy(values, q):
+    """The histogram-refine bin/rank arithmetic must agree with
+    np.quantile for arbitrary value distributions (driver-side kernel
+    check — the distributed plumbing is pinned in test_ops)."""
+    import numpy as np
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=4, include_dashboard=False,
+                 ignore_reinit_error=True, logging_level="ERROR")
+    import pandas as pd
+    import ray.data as rd
+
+    from jochre3_ocr_ray.ops.relational import grouped_quantiles_histogram
+
+    df = pd.DataFrame({"g": "x", "v": values})
+    got = grouped_quantiles_histogram(rd.from_pandas(df), "g", "v", [q])
+    want = float(np.quantile(np.array(values, dtype=np.float64), q))
+    assert got[("x", q)] == pytest.approx(want, rel=0, abs=max(1e-9, abs(want) * 1e-12))
