@@ -161,3 +161,26 @@ def parse_alto(xml: str) -> dict:
         "confidence": float(page.get("PC")),
         "blocks": blocks,
     }
+
+
+def blocks_to_text(blocks: list[dict]) -> str:
+    """Reconstruct the page content from the nested structure — the
+    ``Alto.content`` analog (``Page.scala:156-160``: blocks joined by
+    blank lines, lines by newlines, words laid out by their spans).
+    Exact inverse of the span contract: gaps between word spans are
+    spaces."""
+    parts = []
+    for block in blocks or []:
+        line_texts = []
+        for line in block["lines"]:
+            cursor = line["span"]["start"]
+            buf = []
+            for w in line["words"]:
+                s, e = w["span"]["start"], w["span"]["end"]
+                if s > cursor:
+                    buf.append(" " * (s - cursor))
+                buf.append(w["text"])
+                cursor = e
+            line_texts.append("".join(buf))
+        parts.append("\n".join(line_texts))
+    return "\n\n".join(parts)

@@ -498,6 +498,59 @@ def _cast_idx(table: pa.Table, cols: list[str]) -> pa.Table:
     return pa.table(out)
 
 
+def alto_to_text(
+    corpus_dir: str,
+    out_dir: str,
+    *,
+    keep_structure: bool = False,
+    simplifier=simplify,
+) -> dict:
+    """ALTO-corpus -> plain-text corpus conversion — the
+    ``YiddishAltoToText`` job (``yiddish/corpus/YiddishAltoToText.scala
+    :21-50``): every ``*.xml`` under ``corpus_dir`` is parsed
+    (``Alto.fromXML`` analog), its content written as ``basename.txt``
+    plus a ``basename_simplified.txt`` twin, with the relative path
+    preserved when ``keep_structure``. Distributed: the FILE LIST is
+    the dataset; each task parses and writes its own files (parse +
+    write scale with the corpus, the driver only counts)."""
+    from pathlib import Path
+
+    corpus = Path(corpus_dir)
+    files = sorted(str(p) for p in corpus.rglob("*.xml"))
+    if not files:
+        raise FileNotFoundError(f"no .xml files under {corpus_dir}")
+    out_root = Path(out_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    def convert(batch: pa.Table) -> pa.Table:
+        from ..functions.render_alto import blocks_to_text, parse_alto
+
+        n = 0
+        for path in batch["path"].to_pylist():
+            p = Path(path)
+            parsed = parse_alto(p.read_text(encoding="utf-8"))
+            content = blocks_to_text(parsed["blocks"])
+            rel = (
+                p.relative_to(corpus) if keep_structure else Path(p.name)
+            )
+            base = out_root / rel.with_suffix("")
+            base.parent.mkdir(parents=True, exist_ok=True)
+            base.with_suffix(".txt").write_text(content, encoding="utf-8")
+            if simplifier is not None:
+                Path(f"{base}_simplified.txt").write_text(
+                    simplifier(content), encoding="utf-8"
+                )
+            n += 1
+        return pa.table({"n": pa.array([n], type=pa.int64())})
+
+    counts = ray.data.from_items(
+        [{"path": f} for f in files]
+    ).map_batches(convert, batch_format="pyarrow")
+    total = int(sum(t["n"][0].as_py() for t in ray.get(counts.to_arrow_refs())
+                    if t.num_rows))
+    return {"out_dir": str(out_root), "files": total}
+
+
 def prepare_training_corpus(
     input_dir: str,
     out_dir: str,

@@ -261,3 +261,125 @@ class TestGlyphTrainer:
         again = GlyphClassifier.from_json(trained.to_json())
         for word, i in [("continue", 1), ("305", 1), ("c0ntinue", 1)]:
             assert again.predict(word, i) == trained.predict(word, i)
+
+
+class TestGlyphMergeRules:
+    """YiddishCorpusTransformer's adjacent-glyph ligature fold."""
+
+    def _word(self, chars):
+        pos = 0
+        glyphs = []
+        for c in chars:
+            glyphs.append(
+                {"text": c, "span": {"start": pos, "end": pos + 1},
+                 "confidence": 0.9}
+            )
+            pos += 1
+        return glyphs
+
+    def test_tsvey_yudn_merge_and_span_union(self):
+        from jochre3_ocr_ray.functions.glyph_merge import (
+            merge_word_glyphs,
+            yiddish_merge_rules,
+        )
+
+        glyphs = self._word(["א", "י", "י", "ב"])
+        out, changed = merge_word_glyphs(glyphs, yiddish_merge_rules())
+        assert changed
+        assert [g["text"] for g in out] == ["א", "ײ", "ב"]
+        lig = out[1]
+        assert lig["span"] == {"start": 1, "end": 3}
+        assert lig["confidence"] == 1.0
+
+    def test_rule_precedence_pasekh_before_tsvey(self):
+        from jochre3_ocr_ray.functions.glyph_merge import (
+            merge_word_glyphs,
+            yiddish_merge_rules,
+        )
+
+        # yud + pasekh-yud matches BOTH rules; pasekh-tsvey-yudn is
+        # configured first and must win (reference if/elif order)
+        glyphs = self._word(["י", "יַ"])
+        out, _ = merge_word_glyphs(glyphs, yiddish_merge_rules())
+        assert [g["text"] for g in out] == ["ײַ"]
+        # with pasekh disabled, tsvey-yudn catches the same pair
+        out2, _ = merge_word_glyphs(
+            glyphs, yiddish_merge_rules(pasekh_tsvey_yudn=False)
+        )
+        assert [g["text"] for g in out2] == ["ײ"]
+
+    def test_disabled_rules_leave_glyphs(self):
+        from jochre3_ocr_ray.functions.glyph_merge import (
+            merge_word_glyphs,
+            yiddish_merge_rules,
+        )
+
+        glyphs = self._word(["ו", "ו"])
+        out, changed = merge_word_glyphs(
+            glyphs, yiddish_merge_rules(tsvey_vovn=False)
+        )
+        assert not changed
+        assert [g["text"] for g in out] == ["ו", "ו"]
+
+    def test_fold_continues_over_merge(self):
+        from jochre3_ocr_ray.functions.glyph_merge import (
+            merge_word_glyphs,
+            yiddish_merge_rules,
+        )
+
+        # vov vov vov: first pair merges to װ; the third vov does NOT
+        # merge with the ligature (prev is now װ, not ו) — exactly the
+        # reference fold's behavior
+        glyphs = self._word(["ו", "ו", "ו"])
+        out, _ = merge_word_glyphs(glyphs, yiddish_merge_rules())
+        assert [g["text"] for g in out] == ["װ", "ו"]
+
+    def test_dataset_stage_rewrites_blocks(self, ray_session, lexicon):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.glyph_merge import apply_glyph_merge
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.schema import BLOCKS_TYPE
+
+        import pyarrow as pa
+
+        row = extract_turn("שלום ייד", 0, lexicon, include_glyphs=True)
+        ds = rd.from_arrow(
+            pa.table({"blocks": pa.array([row["blocks"]], type=BLOCKS_TYPE)})
+        )
+        out = _to_table(apply_glyph_merge(ds)).to_pylist()[0]["blocks"]
+        word_glyphs = [
+            [g["text"] for g in w["glyphs"]]
+            for b in out for l in b["lines"] for w in l["words"]
+        ]
+        assert ["ײ", "ד"] in word_glyphs  # yud-yud merged
+
+
+class TestAltoToText:
+    def test_round_trip_corpus(self, ray_session, lexicon, tmp_path):
+        """extract -> render ALTO files -> alto_to_text recovers the
+        extracted text (+ simplified twin) per file."""
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.render_alto import render_alto
+        from jochre3_ocr_ray.pipelines.corpus_prep import alto_to_text
+
+        corpus = tmp_path / "alto"
+        (corpus / "sub").mkdir(parents=True)
+        texts = {
+            "a": "hello world one\n\nsecond block here",
+            "b": "another page text",
+        }
+        rows = {}
+        for name, raw in texts.items():
+            row = extract_turn(raw, 0, lexicon)
+            rows[name] = row
+            xml = render_alto(name, row["blocks"], row["confidence"])
+            target = corpus / ("sub" if name == "b" else "") / f"{name}.xml"
+            target.write_text(xml)
+        out = tmp_path / "txt"
+        res = alto_to_text(str(corpus), str(out), keep_structure=True)
+        assert res["files"] == 2
+        assert (out / "a.txt").read_text() == rows["a"]["extracted_text"]
+        assert (out / "sub" / "b.txt").read_text() == rows["b"]["extracted_text"]
+        assert (out / "a_simplified.txt").exists()
