@@ -40,6 +40,8 @@ QUERY_NAMES = [
     "events_asof",
     "events_quantiles",
     "customers_semi_bigorder",
+    "training_word_examples",
+    "corpus_alphabet",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design
