@@ -82,6 +82,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_score": textstats.q_quality_score,
         "fingerprint": textstats.q_fingerprint,
         "langid": textstats.q_langid,
+        "pii_scrub": textstats.q_pii_scrub,
+        "chunk_documents": textstats.q_chunk_documents,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
@@ -145,6 +147,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": textstats.Q_QUALITY_SCORE_SQL,
         "fingerprint": textstats.Q_FINGERPRINT_SQL,
         "langid": textstats.Q_LANGID_SQL,
+        "pii_scrub": textstats.Q_PII_SCRUB_SQL,
+        "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "corpus_alphabet": _corpus_prep().Q_CORPUS_ALPHABET_SQL,

@@ -42,6 +42,8 @@ QUERY_NAMES = [
     "customers_semi_bigorder",
     "training_word_examples",
     "corpus_alphabet",
+    "chunk_documents",
+    "pii_scrub",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design

@@ -302,3 +302,149 @@ def winnow_fingerprints(text: str, window: int = 16, stride: int = 8) -> set[int
     if pad:
         hs = np.concatenate([hs, np.full(pad, np.iinfo(np.uint64).max, np.uint64)])
     return set(hs.reshape(-1, stride).min(axis=1).tolist())
+
+
+# ----------------------------------------------------------- PII scrub
+# Both engines run RE2 (Arrow's count/replace and DuckDB's regexp_*),
+# so the scrub and its oracle are pattern-identical by construction.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("phone", r"\+?\d{3}[-. ]\d{3}[-. ]\d{4}"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b"),
+)
+
+
+def q_pii_scrub(sf_dir: str) -> pa.Table:
+    """PII redaction over the documents table — a first-class
+    training-data-pipeline stage: emails/phones/SSNs replaced by
+    typed placeholders, per-doc match counts reported. Vectorized RE2
+    (`pyarrow.compute` kernels), single streaming pass, no shuffle;
+    the DuckDB oracle applies the same patterns with ``regexp_replace
+    (..., 'g')``."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        cols = {"doc_id": batch["doc_id"]}
+        counts = {}
+        for name, pattern in PII_PATTERNS:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pattern), pa.int64()
+            )
+            text = pc.replace_substring_regex(
+                text, pattern, f"<{name.upper()}>"
+            )
+        cols["scrubbed_text"] = text
+        for name, _ in PII_PATTERNS:
+            cols[f"n_{name}"] = counts[name]
+        return pa.table(cols)
+
+    return ds.map_batches(scrub, batch_format="pyarrow", batch_size=65536)
+
+
+def _pii_sql() -> str:
+    text_expr = "text"
+    count_cols = []
+    for name, pattern in PII_PATTERNS:
+        pat = pattern.replace("'", "''")
+        count_cols.append(
+            f"CAST(len(regexp_extract_all(text, '{pat}')) AS BIGINT)"
+            f" AS n_{name}"
+        )
+        text_expr = (
+            f"regexp_replace({text_expr}, '{pat}', '<{name.upper()}>', 'g')"
+        )
+    return (
+        "SELECT doc_id, "
+        + text_expr
+        + " AS scrubbed_text, "
+        + ", ".join(count_cols)
+        + " FROM documents"
+    )
+
+
+Q_PII_SCRUB_SQL = _pii_sql()
+
+
+# ----------------------------------------------------- training chunks
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def q_chunk_documents(
+    sf_dir: str,
+    window: int = CHUNK_TOKENS,
+    stride: int = CHUNK_STRIDE,
+) -> pa.Table:
+    """Overlapping training-window chunking — the
+    document -> fixed-token-window explode every LLM data pipeline
+    ends with: whitespace tokens, ``window`` tokens per chunk,
+    ``stride`` tokens between chunk starts (window-stride overlap
+    carried between consecutive chunks), short final chunk kept iff it
+    adds tokens beyond the previous window. flat_map-shaped
+    ``map_batches`` (row-local, no shuffle); chunk boundaries are pure
+    token arithmetic, so the DuckDB oracle recomputes them exactly."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        doc_ids, chunk_idx, chunk_text, n_tok = [], [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = text.split()
+            n = len(toks)
+            if n == 0:
+                continue
+            k = 0
+            start = 0
+            while start < n:
+                piece = toks[start : start + window]
+                doc_ids.append(doc_id)
+                chunk_idx.append(k)
+                chunk_text.append(" ".join(piece))
+                n_tok.append(len(piece))
+                if start + window >= n:
+                    break
+                k += 1
+                start += stride
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "chunk_idx": pa.array(chunk_idx, type=pa.int64()),
+                "chunk_text": pa.array(chunk_text, type=pa.string()),
+                "n_tokens": pa.array(n_tok, type=pa.int64()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow", batch_size=8192)
+
+
+Q_CHUNK_DOCUMENTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(TRIM(text), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(TRIM(text), '\\s+'), 1)
+           AS pos
+  FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+nn AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+chunks AS (
+  -- chunk k covers tokens [k*stride+1, k*stride+window]; the last
+  -- chunk is the first k with k*stride+window >= n
+  SELECT doc_id, unnest(generate_series(
+    0,
+    CAST(CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+         ELSE CEIL((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) END AS BIGINT)
+  )) AS chunk_idx
+  FROM nn
+)
+SELECT c.doc_id, c.chunk_idx,
+       STRING_AGG(t.tok, ' ' ORDER BY t.pos) AS chunk_text,
+       COUNT(*) AS n_tokens
+FROM chunks c
+JOIN toks t
+  ON t.doc_id = c.doc_id
+ AND t.pos > c.chunk_idx * {CHUNK_STRIDE}
+ AND t.pos <= c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}
+GROUP BY c.doc_id, c.chunk_idx
+"""

@@ -863,3 +863,75 @@ class TestFrameSampler:
 
         with _pytest.raises(NotImplementedError):
             FrameSampler()._split_frames(b"abc", "mp4")
+
+
+class TestPiiScrub:
+    def test_patterns_replaced_and_counted(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.textstats import q_pii_scrub
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        texts = [
+            "contact bob.smith+x@example.co.uk or +1-555-123-4567 now",
+            "ssn 123-45-6789 twice 123-45-6789",
+            "clean text with no pii at all",
+            "",
+        ]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(4), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            sf / "documents.parquet",
+        )
+        out = _to_table(q_pii_scrub(str(sf))).to_pandas().set_index("doc_id")
+        assert out.loc[0, "n_email"] == 1 and out.loc[0, "n_phone"] == 1
+        assert "<EMAIL>" in out.loc[0, "scrubbed_text"]
+        assert "<PHONE>" in out.loc[0, "scrubbed_text"]
+        assert "example.co.uk" not in out.loc[0, "scrubbed_text"]
+        assert out.loc[1, "n_ssn"] == 2
+        assert out.loc[1, "scrubbed_text"] == "ssn <SSN> twice <SSN>"
+        assert out.loc[2, "scrubbed_text"] == texts[2]
+        assert (out.loc[2, ["n_email", "n_phone", "n_ssn"]] == 0).all()
+
+
+class TestChunkDocuments:
+    def test_window_stride_boundaries(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.ops.textstats import q_chunk_documents
+
+        def doc(n):
+            return " ".join(f"t{i}" for i in range(n))
+
+        # boundary cases around window=64, stride=48
+        texts = [doc(0), doc(1), doc(64), doc(65), doc(112), doc(113), "   "]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            sf / "documents.parquet",
+        )
+        out = _to_table(q_chunk_documents(str(sf))).to_pandas()
+        by_doc = out.groupby("doc_id")
+        counts = by_doc.size().to_dict()
+        assert 0 not in counts and 6 not in counts  # empty docs: no chunks
+        assert counts[1] == 1 and counts[2] == 1
+        assert counts[3] == 2 and counts[4] == 2 and counts[5] == 3
+        # overlap: chunk 1 of doc 4 starts at token 48
+        c1 = out[(out.doc_id == 4) & (out.chunk_idx == 1)].iloc[0]
+        assert c1.chunk_text.startswith("t48 ") and c1.n_tokens == 64
+        # tail chunk of doc 5 covers tokens 96..112
+        tail = out[(out.doc_id == 5) & (out.chunk_idx == 2)].iloc[0]
+        assert tail.n_tokens == 113 - 96
+        # every token of every doc is covered by at least one chunk
+        for did, n in [(3, 65), (5, 113)]:
+            covered = set()
+            for r in out[out.doc_id == did].itertuples():
+                covered.update(r.chunk_text.split())
+            assert covered == {f"t{i}" for i in range(n)}
