@@ -1,0 +1,91 @@
+"""Incremental exact dedup against the persistent bucketed hash index
+(state/hash_index.py): cross-run dedup, within-run dedup, idempotent
+re-ingestion, and uncommitted-run retry safety."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+
+def _ds(rows):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows]),
+            }
+        )
+    )
+
+
+class TestIncrementalDedup:
+    def test_cross_run_and_within_run(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.hash_index import dedup_incremental
+
+        idx = tmp_path / "index"
+        a = _ds([(1, "alpha"), (2, "beta"), (3, "alpha")])  # 3 dups 1
+        r1 = dedup_incremental(a, idx, "run1")
+        assert not r1["already_ingested"]
+        kept1 = sorted(r1["survivors"]["doc_id"].to_pylist())
+        assert kept1 == [1, 2]  # within-run dup dropped, min id kept
+        assert r1["kept_rows"] == 2 and r1["new_rows"] == 3
+
+        # run 2: one historical dup, one new, one internal dup pair
+        b = _ds([(10, "beta"), (11, "gamma"), (12, "delta"), (13, "delta")])
+        r2 = dedup_incremental(b, idx, "run2")
+        kept2 = sorted(r2["survivors"]["doc_id"].to_pylist())
+        assert kept2 == [11, 12]  # beta seen in run1; delta deduped to 12
+
+        # run 3: everything already known
+        c = _ds([(20, "alpha"), (21, "gamma"), (22, "delta")])
+        r3 = dedup_incremental(c, idx, "run3")
+        assert r3["kept_rows"] == 0
+
+    def test_idempotent_reingestion(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.hash_index import dedup_incremental
+
+        idx = tmp_path / "index"
+        a = _ds([(1, "x"), (2, "y")])
+        r1 = dedup_incremental(a, idx, "runA")
+        assert r1["kept_rows"] == 2
+        again = dedup_incremental(a, idx, "runA")
+        assert again["already_ingested"]
+
+    def test_uncommitted_run_does_not_poison_retry(self, ray_session, tmp_path):
+        """A crash between bucket writes and the manifest commit must
+        not make a retry treat its own rows as already seen."""
+        from jochre3_ocr_ray.state.hash_index import (
+            HashIndex,
+            _content_hash64,
+            dedup_incremental,
+        )
+
+        idx_dir = tmp_path / "index"
+        index = HashIndex(idx_dir)
+        # simulate the failed attempt: bucket files written, NO manifest
+        h = _content_hash64(["orphan"])
+        index.append_bucket(int(index.bucket_of(h)[0]), h, "runZ")
+        assert not index.run_committed("runZ")
+        # retry ingests the same content under the same run id
+        r = dedup_incremental(_ds([(5, "orphan")]), idx_dir, "runZ")
+        assert r["kept_rows"] == 1
+        assert sorted(r["survivors"]["doc_id"].to_pylist()) == [5]
+        # and is now committed: the next run sees 'orphan' as known
+        r2 = dedup_incremental(_ds([(9, "orphan")]), idx_dir, "runY")
+        assert r2["kept_rows"] == 0
+
+    def test_bucket_layout_touches_only_needed_buckets(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.hash_index import (
+            HashIndex,
+            dedup_incremental,
+        )
+
+        idx_dir = tmp_path / "index"
+        dedup_incremental(_ds([(1, "one doc")]), idx_dir, "r1")
+        index = HashIndex(idx_dir)
+        parts = sorted(p.name for p in index.root.glob("part=*"))
+        assert len(parts) == 1  # one hash -> exactly one bucket dir
