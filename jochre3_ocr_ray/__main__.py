@@ -84,6 +84,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--kind", default="lines", choices=["lines", "words"])
     p.add_argument("--val-every", type=int, default=10)
 
+    p = sub.add_parser("ingest")
+    p.add_argument("input_dir", help="documents-shaped parquet dir")
+    p.add_argument("index_dir", help="persistent hash-index dir")
+    p.add_argument("out_dir", help="where surviving rows are written")
+    p.add_argument("--run-id", required=True)
+
     p = sub.add_parser("evaluate")
     p.add_argument("predicted_dir")
     p.add_argument("expected_dir")
@@ -186,6 +192,32 @@ def main(argv: list[str] | None = None) -> int:
                 "mean_cer": float(mean["cer"]),
                 "mean_bow_cosine": float(mean["bow_cosine"]),
             }
+        elif args.cmd == "ingest":
+            import pyarrow.parquet as _pq
+
+            from .sources.reader import read_transcripts
+            from .state.hash_index import dedup_incremental
+
+            new_ds = read_transcripts(
+                args.input_dir, columns=["doc_id", "text"]
+            )
+            res = dedup_incremental(new_ds, args.index_dir, args.run_id)
+            if res["already_ingested"]:
+                metrics = {"run_id": args.run_id, "already_ingested": True}
+            else:
+                from pathlib import Path as _Path
+
+                out = _Path(args.out_dir)
+                out.mkdir(parents=True, exist_ok=True)
+                _pq.write_table(
+                    res["survivors"], out / f"run_{args.run_id}.parquet"
+                )
+                metrics = {
+                    "run_id": args.run_id,
+                    "new_rows": res["new_rows"],
+                    "kept_rows": res["kept_rows"],
+                    "out": str(out / f"run_{args.run_id}.parquet"),
+                }
         elif args.cmd == "prep":
             from .pipelines.corpus_prep import prepare_training_corpus
 
