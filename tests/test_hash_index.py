@@ -89,3 +89,70 @@ class TestIncrementalDedup:
         index = HashIndex(idx_dir)
         parts = sorted(p.name for p in index.root.glob("part=*"))
         assert len(parts) == 1  # one hash -> exactly one bucket dir
+
+
+class TestNearDedupIncremental:
+    def _corpus(self, seed, n, vocab_n=400, words=30):
+        import numpy as np
+
+        rng = np.random.RandomState(seed)
+        vocab = [f"w{i}" for i in range(vocab_n)]
+        return [" ".join(rng.choice(vocab, words)) for _ in range(n)]
+
+    def test_cross_run_near_dups_flagged(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.minhash_index import near_dedup_incremental
+
+        idx = tmp_path / "mindex"
+        base = self._corpus(1, 30)
+        r1 = near_dedup_incremental(
+            _ds(list(enumerate(base))), idx, "run1"
+        )
+        assert r1["kept_rows"] == 30  # random docs: no near-dups
+
+        # run 2: near-dup of doc 0 (one word changed), one exact dup of
+        # doc 1, and two genuinely new docs
+        near = base[0].split()
+        near[5] = "CHANGED"
+        newdocs = [
+            (100, " ".join(near)),
+            (101, base[1]),
+            (102, self._corpus(7, 1)[0]),
+            (103, self._corpus(8, 1)[0]),
+        ]
+        r2 = near_dedup_incremental(_ds(newdocs), idx, "run2")
+        kept = sorted(r2["survivors"]["doc_id"].to_pylist())
+        assert kept == [102, 103]
+        assert r2["flagged"] == 2
+
+    def test_within_run_min_id_survives(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.minhash_index import near_dedup_incremental
+
+        idx = tmp_path / "mindex"
+        doc = self._corpus(3, 1)[0]
+        rows = [(5, doc), (9, doc), (2, self._corpus(4, 1)[0])]
+        r = near_dedup_incremental(_ds(rows), idx, "runA")
+        kept = sorted(r["survivors"]["doc_id"].to_pylist())
+        assert kept == [2, 5]  # 9 deduped against lower-id 5
+
+    def test_idempotent_and_dropped_not_indexed(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.state.minhash_index import (
+            MinhashBandIndex,
+            near_dedup_incremental,
+        )
+
+        idx = tmp_path / "mindex"
+        doc = self._corpus(5, 1)[0]
+        r1 = near_dedup_incremental(_ds([(1, doc), (2, doc)]), idx, "r1")
+        assert r1["kept_rows"] == 1
+        # only the survivor's band rows were registered
+        index = MinhashBandIndex(idx)
+        ids = set()
+        for part in index.root.glob("band_part=*"):
+            import pyarrow.parquet as pq
+
+            for f in part.glob("run_*.parquet"):
+                ids.update(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        assert ids == {1}
+        assert near_dedup_incremental(
+            _ds([(1, doc)]), idx, "r1"
+        )["already_ingested"]
