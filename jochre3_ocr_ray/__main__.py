@@ -89,6 +89,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("index_dir", help="persistent hash-index dir")
     p.add_argument("out_dir", help="where surviving rows are written")
     p.add_argument("--run-id", required=True)
+    p.add_argument("--near", action="store_true",
+                   help="near-dup (MinHash band index) instead of exact")
 
     p = sub.add_parser("evaluate")
     p.add_argument("predicted_dir")
@@ -197,11 +199,13 @@ def main(argv: list[str] | None = None) -> int:
 
             from .sources.reader import read_transcripts
             from .state.hash_index import dedup_incremental
+            from .state.minhash_index import near_dedup_incremental
 
             new_ds = read_transcripts(
                 args.input_dir, columns=["doc_id", "text"]
             )
-            res = dedup_incremental(new_ds, args.index_dir, args.run_id)
+            dedup_fn = near_dedup_incremental if args.near else dedup_incremental
+            res = dedup_fn(new_ds, args.index_dir, args.run_id)
             if res["already_ingested"]:
                 metrics = {"run_id": args.run_id, "already_ingested": True}
             else:
