@@ -77,6 +77,9 @@ def main(argv: list[str] | None = None) -> int:
                    help="payload file, or '-' for stdin")
     p.add_argument("--format", dest="fmt", default="all",
                    choices=["text", "processed", "alto", "all"])
+    p.add_argument("--out-zip", default=None,
+                   help="also write the output formats into a zip — "
+                        "the API's zipped OutputLocation sink analog")
 
     p = sub.add_parser("prep")
     p.add_argument("input_dir")
@@ -162,6 +165,19 @@ def main(argv: list[str] | None = None) -> int:
             out["alto_xml"] = render_alto(
                 "payload_0", result["blocks"], result["confidence"]
             )
+        if args.out_zip:
+            # the reference API's response is a ZIP of the requested
+            # output files (api/analysis zipped OutputLocation)
+            import zipfile
+
+            with zipfile.ZipFile(args.out_zip, "w") as zf:
+                if "text" in out:
+                    zf.writestr("payload_0.txt", out["text"])
+                if "processed_text" in out:
+                    zf.writestr("payload_0_processed.txt", out["processed_text"])
+                if "alto_xml" in out:
+                    zf.writestr("payload_0_alto4.xml", out["alto_xml"])
+            out["zip"] = args.out_zip
         print(json.dumps(out))
         return 0
 

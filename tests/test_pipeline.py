@@ -160,6 +160,26 @@ class TestServeCLI:
         out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert "alto_xml" not in out2 and out2["text"] == out["text"]
 
+    def test_zip_sink(self, tmp_path, capsys):
+        """--out-zip writes the zipped OutputLocation analog."""
+        import json
+        import zipfile
+
+        from jochre3_ocr_ray.__main__ import main
+
+        payload = tmp_path / "req.txt"
+        payload.write_text("zip me up now")
+        zip_path = tmp_path / "out.zip"
+        assert main(["serve", str(payload), "--out-zip", str(zip_path)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        with zipfile.ZipFile(zip_path) as zf:
+            names = set(zf.namelist())
+            assert names == {
+                "payload_0.txt", "payload_0_processed.txt",
+                "payload_0_alto4.xml",
+            }
+            assert zf.read("payload_0.txt").decode() == out["text"]
+
 
 class TestResume:
     def test_resume_skips_completed_shards(self, ray_session, small_corpus, tmp_path):
