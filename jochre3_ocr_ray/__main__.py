@@ -220,11 +220,19 @@ def main(argv: list[str] | None = None) -> int:
             new_ds = read_transcripts(
                 args.input_dir, columns=["doc_id", "text"]
             )
-            dedup_fn = near_dedup_incremental if args.near else dedup_incremental
-            res = dedup_fn(new_ds, args.index_dir, args.run_id)
+            if args.near:
+                res = near_dedup_incremental(
+                    new_ds, args.index_dir, args.run_id
+                )
+            else:
+                # exact path streams survivors to disk WORKER-side
+                res = dedup_incremental(
+                    new_ds, args.index_dir, args.run_id,
+                    out_dir=args.out_dir,
+                )
             if res["already_ingested"]:
                 metrics = {"run_id": args.run_id, "already_ingested": True}
-            else:
+            elif res.get("survivors") is not None:
                 from pathlib import Path as _Path
 
                 out = _Path(args.out_dir)
@@ -237,6 +245,13 @@ def main(argv: list[str] | None = None) -> int:
                     "new_rows": res["new_rows"],
                     "kept_rows": res["kept_rows"],
                     "out": str(out / f"run_{args.run_id}.parquet"),
+                }
+            else:
+                metrics = {
+                    "run_id": args.run_id,
+                    "new_rows": res["new_rows"],
+                    "kept_rows": res["kept_rows"],
+                    "out": res["out_dir"],
                 }
         elif args.cmd == "prep":
             from .pipelines.corpus_prep import prepare_training_corpus

@@ -132,6 +132,7 @@ def dedup_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     buckets: int = DEFAULT_BUCKETS,
+    out_dir: "str | Path | None" = None,
 ) -> dict:
     """Deduplicate a new batch against the index AND within itself,
     then register the survivors — all hash-partitioned, index reads
@@ -147,7 +148,11 @@ def dedup_incremental(
        overwritten on retry) and the whole ingestion idempotent: a
        committed ``run_id`` returns immediately.
 
-    Returns {survivors (Dataset), new_rows, kept_rows, already_ingested}.
+    With ``out_dir`` set, each partition writes its surviving rows as
+    parquet WORKER-SIDE (``out_dir/run_<id>/part_<p>.parquet``) and
+    only counts come back to the driver — the shape for shards too
+    large to materialize; otherwise survivors return as one Arrow
+    table. Returns {survivors, new_rows, kept_rows, already_ingested}.
     """
     from ..ops.relational import _to_table, partitioned_apply
 
@@ -158,6 +163,10 @@ def dedup_incremental(
             "already_ingested": True,
             "run_id": run_id,
         }
+    out_run: "Path | None" = None
+    if out_dir is not None:
+        out_run = Path(out_dir) / f"run_{run_id}"
+        out_run.mkdir(parents=True, exist_ok=True)
 
     def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
@@ -184,21 +193,42 @@ def dedup_incremental(
                     int(bucket), fresh["_hash"].to_numpy(), run_id
                 )
             out.append(fresh)
-        if not out:
-            return part.iloc[0:0].drop(columns=["_bucket"])
-        return pd.concat(out).drop(columns=["_bucket"])
+        res = (
+            pd.concat(out).drop(columns=["_bucket", "_hash"])
+            if out
+            else part.iloc[0:0].drop(columns=["_bucket", "_hash"])
+        )
+        if out_run is None:
+            return res
+        # worker-side survivor write: one atomic file per partition
+        import pyarrow.parquet as pq
+
+        if len(res):
+            p = int(part["_bucket"].iloc[0]) if len(part) else 0
+            tmp = out_run / f".part_{p:05d}.tmp.parquet"
+            tmp_t = pa.Table.from_pandas(res, preserve_index=False)
+            pq.write_table(tmp_t, tmp)
+            tmp.rename(out_run / f"part_{p:05d}.parquet")
+        return pd.DataFrame({"kept": [len(res)]})
 
     survivors = _to_table(partitioned_apply(hashed, ["_bucket"], per_bucket))
-    if "_hash" in survivors.column_names:
-        survivors = survivors.drop_columns(["_hash"])
+    if out_run is not None:
+        kept = (
+            int(pa.compute.sum(survivors["kept"]).as_py() or 0)
+            if "kept" in survivors.column_names
+            else 0
+        )
+        result_table = None
+    else:
+        kept = survivors.num_rows
+        result_table = survivors
     n_new = new_ds.count()
-    index.commit_run(
-        run_id, {"new_rows": int(n_new), "kept_rows": survivors.num_rows}
-    )
+    index.commit_run(run_id, {"new_rows": int(n_new), "kept_rows": kept})
     return {
-        "survivors": survivors,
+        "survivors": result_table,
+        "out_dir": str(out_run) if out_run is not None else None,
         "new_rows": int(n_new),
-        "kept_rows": survivors.num_rows,
+        "kept_rows": kept,
         "already_ingested": False,
         "run_id": run_id,
     }

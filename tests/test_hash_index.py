@@ -156,3 +156,29 @@ class TestNearDedupIncremental:
         assert near_dedup_incremental(
             _ds([(1, doc)]), idx, "r1"
         )["already_ingested"]
+
+
+class TestIncrementalStreamingOut:
+    def test_worker_side_survivor_write(self, ray_session, tmp_path):
+        """With out_dir set, survivors stream to parquet inside the
+        partitions (no driver materialization) and counts agree."""
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.state.hash_index import dedup_incremental
+
+        idx = tmp_path / "index"
+        out = tmp_path / "kept"
+        rows = [(i, f"doc {i % 7}") for i in range(50)]  # 7 distinct
+        r = dedup_incremental(_ds(rows), idx, "s1", out_dir=out)
+        assert r["survivors"] is None
+        assert r["kept_rows"] == 7
+        files = sorted((out / "run_s1").glob("part_*.parquet"))
+        assert files
+        total = sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+        assert total == 7
+        ids = sorted(
+            i
+            for f in files
+            for i in pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist()
+        )
+        assert ids == list(range(7))  # min id per distinct text
