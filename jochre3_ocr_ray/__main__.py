@@ -222,7 +222,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             if args.near:
                 res = near_dedup_incremental(
-                    new_ds, args.index_dir, args.run_id
+                    new_ds, args.index_dir, args.run_id,
+                    out_dir=args.out_dir,
                 )
             else:
                 # exact path streams survivors to disk WORKER-side

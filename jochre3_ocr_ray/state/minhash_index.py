@@ -135,6 +135,7 @@ def near_dedup_incremental(
     text_col: str = "text",
     est_threshold: float = 0.8,
     buckets: int = BAND_BUCKETS,
+    out_dir: "str | Path | None" = None,
 ) -> dict:
     """Three streaming phases, all band-bucket-partitioned:
 
@@ -230,11 +231,29 @@ def near_dedup_incremental(
 
     flagged_ref = _ray.put(flagged)
 
+    out_run = None
+    if out_dir is not None:
+        out_run = Path(out_dir) / f"run_{run_id}"
+        out_run.mkdir(parents=True, exist_ok=True)
+
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
         bad = _ray.get(flagged_ref)
         return batch[~batch[id_col].isin(bad)]
 
-    survivors = _to_table(new_ds.map_batches(keep, batch_format="pandas"))
+    kept_ds = new_ds.map_batches(keep, batch_format="pandas")
+    if out_run is not None:
+        # worker-side survivor write (same shape as hash_index)
+        kept_ds.write_parquet(str(out_run))
+        import pyarrow.parquet as pq
+
+        survivors = None
+        kept_rows = sum(
+            pq.ParquetFile(f).metadata.num_rows
+            for f in Path(out_run).glob("*.parquet")
+        )
+    else:
+        survivors = _to_table(kept_ds)
+        kept_rows = survivors.num_rows
 
     def register(part: pd.DataFrame) -> pd.DataFrame:
         bad = _ray.get(flagged_ref)
@@ -254,12 +273,13 @@ def near_dedup_incremental(
     n_new = new_ds.count()
     index.commit_run(
         run_id,
-        {"new_rows": int(n_new), "kept_rows": survivors.num_rows},
+        {"new_rows": int(n_new), "kept_rows": int(kept_rows)},
     )
     return {
         "survivors": survivors,
+        "out_dir": str(out_run) if out_run is not None else None,
         "new_rows": int(n_new),
-        "kept_rows": survivors.num_rows,
+        "kept_rows": int(kept_rows),
         "flagged": len(flagged),
         "already_ingested": False,
         "run_id": run_id,
