@@ -146,7 +146,8 @@ def q_training_line_examples(sf_dir: str) -> pa.Table:
     turns = derive_transcripts(sf_dir)
     extracted = build_extraction_for_corpus(turns)
     out = _to_table(line_examples(extracted))
-    return _cast_idx(out, ["line_idx", "span_start", "span_end"])
+    return _cast_idx(out, ["line_idx", "span_start", "span_end"],
+                     _LINE_EXAMPLES_SCHEMA)
 
 
 Q_TRAINING_LINE_EXAMPLES_SQL = f"""
@@ -205,7 +206,8 @@ def q_training_word_examples(sf_dir: str) -> pa.Table:
     turns = derive_transcripts(sf_dir)
     extracted = build_extraction_for_corpus(turns)
     out = _to_table(word_examples(extracted))
-    return _cast_idx(out, ["word_idx", "span_start", "span_end"])
+    return _cast_idx(out, ["word_idx", "span_start", "span_end"],
+                     _WORD_EXAMPLES_SCHEMA)
 
 
 Q_TRAINING_WORD_EXAMPLES_SQL = f"""
@@ -431,7 +433,7 @@ def q_yolo_annotations(sf_dir: str) -> pa.Table:
     turns = derive_transcripts(sf_dir)
     extracted = build_extraction_for_corpus(turns)
     out = _to_table(yolo_annotations(extracted))
-    return _cast_idx(out, ["class_idx", "obj_idx"])
+    return _cast_idx(out, ["class_idx", "obj_idx"], _YOLO_SCHEMA)
 
 
 Q_YOLO_ANNOTATIONS_SQL = f"""
@@ -488,7 +490,53 @@ def build_extraction_for_corpus(turns, *, include_glyphs: bool = False):
     )
 
 
-def _cast_idx(table: pa.Table, cols: list[str]) -> pa.Table:
+# typed empty-result schemas: an all-empty corpus yields zero-column
+# empty blocks from annotate_corpus; the driver compares column NAMES,
+# so the q_ wrappers must return typed empties
+_LINE_EXAMPLES_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("line_idx", pa.int64()),
+        pa.field("example_id", pa.string()),
+        pa.field("content", pa.string()),
+        pa.field("span_start", pa.int64()),
+        pa.field("span_end", pa.int64()),
+        pa.field("split", pa.string()),
+    ]
+)
+_WORD_EXAMPLES_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("word_idx", pa.int64()),
+        pa.field("example_id", pa.string()),
+        pa.field("content", pa.string()),
+        pa.field("span_start", pa.int64()),
+        pa.field("span_end", pa.int64()),
+        pa.field("split", pa.string()),
+    ]
+)
+_YOLO_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("class_name", pa.string()),
+        pa.field("class_idx", pa.int64()),
+        pa.field("obj_idx", pa.int64()),
+        pa.field("cx", pa.float64()),
+        pa.field("cy", pa.float64()),
+        pa.field("w", pa.float64()),
+        pa.field("h", pa.float64()),
+        pa.field("split", pa.string()),
+    ]
+)
+
+
+def _cast_idx(table: pa.Table, cols: list[str],
+              empty_schema: "pa.Schema | None" = None) -> pa.Table:
+    if table.num_columns == 0 and empty_schema is not None:
+        return empty_schema.empty_table()
     out = {}
     for name in table.column_names:
         col = table[name]

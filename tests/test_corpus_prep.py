@@ -383,3 +383,35 @@ class TestAltoToText:
         assert (out / "a.txt").read_text() == rows["a"]["extracted_text"]
         assert (out / "sub" / "b.txt").read_text() == rows["b"]["extracted_text"]
         assert (out / "a_simplified.txt").exists()
+
+
+class TestEmptyCorpusTypedResults:
+    def test_all_empty_docs_yield_typed_empty_tables(self, ray_session, tmp_path):
+        """A corpus of only empty/whitespace docs must return EMPTY
+        tables with the full column schema (zero-column empties would
+        schema-mismatch the driver compare)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            q_training_line_examples,
+            q_training_word_examples,
+            q_yolo_annotations,
+        )
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table(
+                {"doc_id": pa.array([0, 1], type=pa.int64()),
+                 "text": pa.array(["", "   "])}
+            ),
+            sf / "documents.parquet",
+        )
+        lines = q_training_line_examples(str(sf))
+        words = q_training_word_examples(str(sf))
+        yolo = q_yolo_annotations(str(sf))
+        assert lines.num_rows == words.num_rows == yolo.num_rows == 0
+        assert "example_id" in lines.column_names
+        assert "example_id" in words.column_names
+        assert {"cx", "cy", "w", "h"} <= set(yolo.column_names)
