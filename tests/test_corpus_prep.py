@@ -415,3 +415,120 @@ class TestEmptyCorpusTypedResults:
         assert "example_id" in lines.column_names
         assert "example_id" in words.column_names
         assert {"cx", "cy", "w", "h"} <= set(yolo.column_names)
+
+
+class TestFastDerivationEqualsStructural:
+    """The q_ wrappers' extracted_text derivation must equal the
+    structural (blocks-walking) operators row for row — on the markup
+    corpus where pages are multi-line and multi-block."""
+
+    def _structural(self, fn, extracted, **kw):
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        return _to_table(fn(extracted, **kw)).to_pandas()
+
+    def test_line_examples(self, ray_session, extracted, small_corpus):
+        import pandas as pd
+
+        from jochre3_ocr_ray.pipelines.corpus_prep import line_examples
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            _text_line_spans,
+        )
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        structural = (
+            self._structural(line_examples, extracted,
+                             validation_one_every=10)
+            .sort_values(["conv_id", "turn_idx", "line_idx"])
+            .reset_index(drop=True)
+        )
+        # fast derivation from the same pages
+        pages = _to_table(
+            extracted.select_columns(
+                ["conv_id", "turn_idx", "extracted_text"]
+            )
+        ).to_pylist()
+        rows = []
+        for p in pages:
+            text = p["extracted_text"]
+            for i, (s, e) in enumerate(_text_line_spans(text)):
+                rows.append(
+                    (p["conv_id"], p["turn_idx"], i, s, e, text[s:e])
+                )
+        fast = pd.DataFrame(
+            rows,
+            columns=["conv_id", "turn_idx", "line_idx", "span_start",
+                     "span_end", "content"],
+        ).sort_values(["conv_id", "turn_idx", "line_idx"]).reset_index(
+            drop=True
+        )
+        assert len(fast) == len(structural)
+        for col in ["conv_id", "line_idx", "span_start", "span_end",
+                    "content"]:
+            assert (
+                fast[col].astype(str).tolist()
+                == structural[col].astype(str).tolist()
+            ), col
+
+    def test_word_runs_equal_combined_spans(self, ray_session, extracted):
+        import re
+
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            _text_line_spans,
+            word_examples,
+        )
+
+        structural = (
+            self._structural(word_examples, extracted,
+                             validation_one_every=10)
+            .sort_values(["conv_id", "turn_idx", "word_idx"])
+            .reset_index(drop=True)
+        )
+        pages = _to_table(
+            extracted.select_columns(
+                ["conv_id", "turn_idx", "extracted_text"]
+            )
+        ).to_pylist()
+        runs = []
+        word_run = re.compile(r"\S+")
+        for p in pages:
+            text = p["extracted_text"]
+            i = 0
+            for ls, le in _text_line_spans(text):
+                for m in word_run.finditer(text, ls, le):
+                    runs.append(
+                        (p["conv_id"], p["turn_idx"], i, m.start(), m.end())
+                    )
+                    i += 1
+        fast = pd.DataFrame(
+            runs,
+            columns=["conv_id", "turn_idx", "word_idx", "span_start",
+                     "span_end"],
+        ).sort_values(["conv_id", "turn_idx", "word_idx"]).reset_index(
+            drop=True
+        )
+        assert len(fast) == len(structural)
+        for col in ["conv_id", "word_idx", "span_start", "span_end"]:
+            assert (
+                fast[col].astype(str).tolist()
+                == structural[col].astype(str).tolist()
+            ), col
+
+    def test_alphabet_fast_equals_structural(self, ray_session, extracted):
+        from jochre3_ocr_ray.functions.normalize import simplify
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import corpus_alphabet
+
+        structural = corpus_alphabet(extracted)["glyph"].to_pylist()
+        pages = _to_table(
+            extracted.select_columns(["extracted_text"])
+        ).to_pylist()
+        seen = set()
+        for p in pages:
+            seen.update(p["extracted_text"])
+        seen -= {" ", "\n"}
+        fast = sorted({simplify(c) for c in seen}) + [""]
+        assert fast == structural
