@@ -204,3 +204,37 @@ def segment(normalized_text: str) -> list[SegmentedBlock]:
     if _MARKUP.search(normalized_text):
         return _markup_blocks(normalized_text)
     return _plain_blocks(normalized_text)
+
+
+def non_segment(normalized_text: str) -> list[SegmentedBlock]:
+    """The ``NonSegmenter`` analog (``segmentation/NonSegmenter.scala:
+    22-45``): produce an EMPTY page — no blocks at all. Paired in the
+    reference with ``UnsegmentedPageTextGuesser``, which assigns the
+    whole page's content in one go; here the empty segmentation flows
+    through ``extract_turn`` as a zero-block, empty-text turn exactly
+    as the reference's empty ``Page(blocks = [])`` renders no text."""
+    return []
+
+
+def block_only_segment(
+    normalized_text: str, block_text_fn=None
+) -> list[SegmentedBlock]:
+    """The ``BlockOnlySegmenter`` analog (``segmentation/
+    BlockOnlySegmenter.scala:26-70``): top-level blocks WITHOUT line
+    segmentation — in the reference each predicted block arrives as
+    ``TextBlock(rect, Seq.empty)`` and a ``BlockTextGuesser`` fills
+    its text. Here each full-pipeline block keeps its content as ONE
+    unsplit line (no ``<br>``/line subdivision), and ``block_text_fn
+    (block_text) -> [line texts]`` is the BlockTextGuesser hook that
+    re-lines it (an external OCR/LLM service in the reference)."""
+    blocks = segment(normalized_text)
+    out = []
+    for b in blocks:
+        joined = " ".join(b.lines)
+        lines = (
+            [l for l in block_text_fn(joined) if l]
+            if block_text_fn is not None
+            else [joined]
+        )
+        out.append(SegmentedBlock(lines=lines, kind=b.kind))
+    return out

@@ -357,3 +357,47 @@ class TestTransformChain:
         out, metas = chain.apply(raw)
         assert out == raw
         assert chain.invert_offset(5, metas) == 5
+
+
+class TestSegmenterVariants:
+    """NonSegmenter / BlockOnlySegmenter analogs (the pluggable
+    segmentation services of SURVEY §2.10)."""
+
+    def test_non_segmenter_empty_page(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.segmenter import non_segment
+
+        out = extract_turn("some text here", 0, lexicon,
+                           segmenter=non_segment)
+        assert out["n_blocks"] == 0
+        assert out["extracted_text"] == ""
+        assert out["blocks"] == []
+
+    def test_block_only_collapses_lines(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.segmenter import block_only_segment
+
+        text = "para one line a<br>line b\n\npara two"
+        full = extract_turn(text, 0, lexicon)
+        assert full["n_lines"] == 3  # <br> splits within block one
+        block_only = extract_turn(text, 0, lexicon,
+                                  segmenter=block_only_segment)
+        assert block_only["n_blocks"] == full["n_blocks"] == 2
+        assert block_only["n_lines"] == 2  # one line per block
+        assert "line a line b" in block_only["extracted_text"]
+
+    def test_block_text_guesser_hook(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.segmenter import block_only_segment
+
+        # the BlockTextGuesser hook re-lines each block (external
+        # service analog): split on the word 'and'
+        def guesser(block_text):
+            return [p.strip() for p in block_text.split(" and ")]
+
+        def seg(text):
+            return block_only_segment(text, block_text_fn=guesser)
+
+        out = extract_turn("alpha and beta", 0, lexicon, segmenter=seg)
+        assert out["n_lines"] == 2
+        assert out["extracted_text"] == "alpha\nbeta"
