@@ -238,3 +238,28 @@ def block_only_segment(
         )
         out.append(SegmentedBlock(lines=lines, kind=b.kind))
     return out
+
+
+def unsegmented_page_segmenter(page_text_fn=None):
+    """The ``UnsegmentedPageTextGuesser`` pairing (reference
+    ``core/text/UnsegmentedPageTextGuesser.scala``: NonSegmenter's
+    empty page + a guesser that assigns the WHOLE page's content in
+    one service call). Returns a segmenter producing one block whose
+    lines come from ``page_text_fn(normalized_text) -> [line texts]``
+    (default: the page's own non-empty lines — identity guess)."""
+
+    def seg(normalized_text: str) -> list[SegmentedBlock]:
+        if not normalized_text or not normalized_text.strip():
+            return []
+        lines = (
+            page_text_fn(normalized_text)
+            if page_text_fn is not None
+            else [
+                collapse_inline_whitespace(l)
+                for l in normalized_text.split("\n")
+            ]
+        )
+        lines = [l for l in lines if l]
+        return [SegmentedBlock(lines=lines)] if lines else []
+
+    return seg

@@ -401,3 +401,23 @@ class TestSegmenterVariants:
         out = extract_turn("alpha and beta", 0, lexicon, segmenter=seg)
         assert out["n_lines"] == 2
         assert out["extracted_text"] == "alpha\nbeta"
+
+    def test_unsegmented_page_guesser(self, lexicon):
+        from jochre3_ocr_ray.functions.extract import extract_turn
+        from jochre3_ocr_ray.functions.segmenter import (
+            unsegmented_page_segmenter,
+        )
+
+        # whole-page service call: uppercase every line
+        seg = unsegmented_page_segmenter(
+            lambda t: [l.upper() for l in t.split("\n") if l.strip()]
+        )
+        out = extract_turn("one two\nthree", 0, lexicon, segmenter=seg)
+        assert out["n_blocks"] == 1
+        assert out["extracted_text"] == "ONE TWO\nTHREE"
+        # identity default reproduces the page's own lines, one block
+        out2 = extract_turn(
+            "a b\n\nc", 0, lexicon,
+            segmenter=unsegmented_page_segmenter(),
+        )
+        assert out2["n_blocks"] == 1 and out2["n_lines"] == 2
