@@ -50,7 +50,6 @@ from __future__ import annotations
 
 import hashlib
 import re
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -87,18 +86,34 @@ def _norm_tokens(text: str) -> list[str]:
     return tokens
 
 
+_TOKEN_HASH_CACHE: dict[str, int] = {}
+
+
+def _blake2b64(t: str) -> int:
+    """TRUE 64-bit token hash (blake2b 8-byte digest), memoized per
+    process (natural-language token sets are small and hot). The
+    previous two-crc32-seeds construction carried only ~32 effective
+    bits — ``crc32(t, s1)`` and ``crc32(t, s2)`` are affinely related
+    (CRC is GF(2)-linear; the seed adds a length-dependent constant) —
+    which measurably collides at web-scale token/doc counts."""
+    h = _TOKEN_HASH_CACHE.get(t)
+    if h is None:
+        h = int.from_bytes(
+            hashlib.blake2b(t.encode("utf-8"), digest_size=8).digest(), "big"
+        )
+        if len(_TOKEN_HASH_CACHE) < 1_000_000:  # bounded memo
+            _TOKEN_HASH_CACHE[t] = h
+    return h
+
+
 def _token_hashes(text: str) -> np.ndarray:
-    """Stable per-token 64-bit hashes (two crc32 halves — C-speed,
-    process-stable, unlike Python's seeded ``hash``)."""
+    """Stable per-token 64-bit hashes (process-stable, unlike Python's
+    seeded ``hash``; see ``_blake2b64`` for the entropy rationale)."""
     tokens = _norm_tokens(text)
     if not tokens:
         return np.empty(0, dtype=np.uint64)
     return np.fromiter(
-        (
-            (zlib.crc32(t.encode("utf-8")) << 32)
-            | zlib.crc32(t.encode("utf-8"), 0x9E3779B9)
-            for t in tokens
-        ),
+        (_blake2b64(t) for t in tokens),
         dtype=np.uint64,
         count=len(tokens),
     )

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import json
 import time
-import zlib
 from pathlib import Path
 
 import numpy as np
@@ -34,12 +33,25 @@ DEFAULT_BUCKETS = 64
 
 
 def _content_hash64(texts: list[str]) -> np.ndarray:
-    """Stable 64-bit content hashes (two crc32 halves — the
-    ``_token_hashes`` construction, C speed, process-stable)."""
+    """Stable TRUE-64-bit content hashes (blake2b, 8-byte digest).
+
+    NOT the two-crc32-seeds construction: ``crc32(t, s1)`` and
+    ``crc32(t, s2)`` are affinely related (CRC is linear over GF(2) —
+    the seed only contributes a length-dependent constant), so that
+    pair carries ~32 effective bits and MEASURABLY collides at 200k
+    docs (2 observed in a 200k random corpus — the birthday rate for
+    32 bits), silently dropping distinct documents from an exact
+    dedup. blake2b costs ~1us/doc — irrelevant next to the pipeline."""
+    import hashlib
+
     return np.fromiter(
         (
-            (zlib.crc32(t.encode("utf-8")) << 32)
-            | zlib.crc32(t.encode("utf-8"), 0x9E3779B9)
+            int.from_bytes(
+                hashlib.blake2b(
+                    t.encode("utf-8"), digest_size=8
+                ).digest(),
+                "big",
+            )
             for t in texts
         ),
         dtype=np.uint64,
