@@ -97,6 +97,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # training-data curation pipeline (ops composed)
         "curate_documents": _curate().q_curate_documents,
         "curate_documents_near_dup": _curate().q_curate_documents_near_dup,
+        "curate_training_chunks": _curate().q_curate_training_chunks,
     }
 
 
@@ -158,4 +159,5 @@ def oracle_sql() -> dict[str, str]:
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
         "curate_documents_near_dup": _curate().Q_CURATE_DOCUMENTS_NEAR_DUP_SQL,
+        "curate_training_chunks": _curate().Q_CURATE_TRAINING_CHUNKS_SQL,
     }

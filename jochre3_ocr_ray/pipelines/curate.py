@@ -198,3 +198,181 @@ WHERE doc_id = keeper
 
 
 Q_CURATE_DOCUMENTS_NEAR_DUP_SQL = _curate_near_dup_sql()
+
+
+# ------------------------------------------- full training-data pipeline
+VAL_PCT = 10
+
+
+def q_curate_training_chunks(sf_dir: str) -> pa.Table:
+    """The canonical LLM training-data pipeline composed end-to-end —
+    quality filter -> PII scrub -> exact dedup (keep min id per
+    SCRUBBED text, the real-world order: scrub first so near-identical
+    docs differing only in redacted PII dedupe together) -> overlapping
+    training-window chunking -> deterministic hash train/val split.
+    Every stage is the already-oracle-checked operator; the composition
+    itself is hash-checked against one composed SQL oracle. All stages
+    stream: vectorized map_batches + one hash-partitioned keep-one;
+    the corpus never materializes."""
+    import numpy as np
+
+    from ..ops.textstats import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        PII_PATTERNS,
+    )
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stage(batch: pa.Table) -> pa.Table:
+        # quality stats on the ORIGINAL text
+        text = batch["text"]
+        trimmed = pc.utf8_trim_whitespace(text)
+        ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+        nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+        n_tokens = pc.if_else(
+            nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32())
+        )
+        n = pc.cast(pc.utf8_length(text), pa.float64())
+        alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+        alpha_ratio = pc.divide(alpha, pc.max_element_wise(n, pa.scalar(1.0)))
+        mask = pc.and_(
+            pc.greater_equal(pc.cast(n_tokens, pa.int64()), MIN_TOKENS),
+            pc.greater_equal(alpha_ratio, MIN_ALPHA),
+        )
+        kept = batch.filter(mask)
+        # PII scrub (same RE2 chain as q_pii_scrub)
+        scrubbed = kept["text"]
+        for name, pattern in PII_PATTERNS:
+            scrubbed = pc.replace_substring_regex(
+                scrubbed, pattern, f"<{name.upper()}>"
+            )
+        digests = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in scrubbed.to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "scrubbed": scrubbed,
+                "text_hash": pa.array(digests),
+            }
+        )
+
+    staged = ds.map_batches(stage, batch_format="pyarrow", batch_size=65536)
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return part.loc[part.groupby("text_hash")["doc_id"].idxmin()]
+
+    kept = partitioned_apply(staged, ["text_hash"], keep_first)
+
+    val_threshold = (1 << 32) * VAL_PCT // 100
+
+    def chunk(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {"doc_id": [], "chunk_idx": [], "chunk_text": [],
+                "n_tokens": [], "split": []}
+        for doc_id, text in zip(batch["doc_id"], batch["scrubbed"]):
+            toks = str(text).split()
+            nt = len(toks)
+            if nt == 0:
+                continue
+            split = (
+                "val"
+                if int(
+                    hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16
+                ) < val_threshold
+                else "train"
+            )
+            k = 0
+            start = 0
+            while start < nt:
+                piece = toks[start : start + CHUNK_TOKENS]
+                rows["doc_id"].append(int(doc_id))
+                rows["chunk_idx"].append(k)
+                rows["chunk_text"].append(" ".join(piece))
+                rows["n_tokens"].append(len(piece))
+                rows["split"].append(split)
+                if start + CHUNK_TOKENS >= nt:
+                    break
+                k += 1
+                start += CHUNK_STRIDE
+        import pandas as _pd
+
+        return _pd.DataFrame(rows)
+
+    out = kept.map_batches(chunk, batch_format="pandas")
+    t = _to_table(out)
+    if t.num_columns == 0:
+        t = pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "chunk_idx": pa.array([], type=pa.int64()),
+                "chunk_text": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "split": pa.array([], type=pa.string()),
+            }
+        )
+    return t
+
+
+def _curate_training_chunks_sql() -> str:
+    from ..ops.textstats import CHUNK_STRIDE, CHUNK_TOKENS, PII_PATTERNS
+
+    scrub_expr = "text"
+    for name, pattern in PII_PATTERNS:
+        pat = pattern.replace("'", "''")
+        scrub_expr = (
+            f"regexp_replace({scrub_expr}, '{pat}', '<{name.upper()}>', 'g')"
+        )
+    return f"""
+WITH stats AS (
+  SELECT doc_id, text,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+         END AS n_toks,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+           / GREATEST(LENGTH(text), 1.0) AS alpha_ratio
+  FROM documents
+),
+scrubbed AS (
+  SELECT doc_id, {scrub_expr} AS stext FROM stats
+  WHERE n_toks >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+),
+keepers AS (SELECT MIN(doc_id) AS doc_id FROM scrubbed GROUP BY stext),
+kept AS (
+  SELECT s.doc_id, s.stext,
+         CASE WHEN ('0x' || substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                   < (4294967296 * {VAL_PCT} / 100)
+              THEN 'val' ELSE 'train' END AS split
+  FROM scrubbed s JOIN keepers k ON s.doc_id = k.doc_id
+),
+toks AS (
+  SELECT doc_id, split,
+         unnest(regexp_split_to_array(TRIM(stext), '\\s+')) AS tok,
+         generate_subscripts(regexp_split_to_array(TRIM(stext), '\\s+'), 1)
+           AS pos
+  FROM kept WHERE LENGTH(TRIM(stext)) > 0
+),
+nn AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+chunks AS (
+  SELECT doc_id, unnest(generate_series(
+    0,
+    CAST(CASE WHEN n <= {CHUNK_TOKENS} THEN 0
+         ELSE CEIL((n - {CHUNK_TOKENS}) / {CHUNK_STRIDE}.0) END AS BIGINT)
+  )) AS chunk_idx
+  FROM nn
+)
+SELECT c.doc_id, c.chunk_idx,
+       STRING_AGG(t.tok, ' ' ORDER BY t.pos) AS chunk_text,
+       COUNT(*) AS n_tokens,
+       ANY_VALUE(t.split) AS split
+FROM chunks c
+JOIN toks t
+  ON t.doc_id = c.doc_id
+ AND t.pos > c.chunk_idx * {CHUNK_STRIDE}
+ AND t.pos <= c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}
+GROUP BY c.doc_id, c.chunk_idx
+"""
+
+
+Q_CURATE_TRAINING_CHUNKS_SQL = _curate_training_chunks_sql()

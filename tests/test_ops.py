@@ -935,3 +935,43 @@ class TestChunkDocuments:
             for r in out[out.doc_id == did].itertuples():
                 covered.update(r.chunk_text.split())
             assert covered == {f"t{i}" for i in range(n)}
+
+
+class TestCurateTrainingChunks:
+    def test_composition_semantics(self, ray_session, tmp_path):
+        """quality-fail docs drop, PII is scrubbed before chunking,
+        scrub-identical docs dedupe to min id, split is doc-stable."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.pipelines.curate import q_curate_training_chunks
+
+        long_a = " ".join(["alpha"] * 30) + " bob@x.com tail words here"
+        long_b = " ".join(["alpha"] * 30) + " eve@y.org tail words here"
+        texts = [
+            "too short",                      # 0: quality-fail (n_tokens)
+            long_a,                           # 1: kept
+            long_b,                           # 2: scrub-identical to 1 -> dropped
+            " ".join(f"word{chr(97 + i % 26)}" for i in range(100)),  # 3: multi-chunk
+        ]
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table({"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+                      "text": pa.array(texts)}),
+            sf / "documents.parquet",
+        )
+        out = q_curate_training_chunks(str(sf)).to_pandas()
+        ids = set(out["doc_id"])
+        assert 0 not in ids          # quality filter
+        assert 2 not in ids          # deduped against 1 post-scrub
+        assert 1 in ids and 3 in ids
+        doc1 = out[out.doc_id == 1]
+        assert all("<EMAIL>" in t for t in doc1["chunk_text"])
+        assert all("bob@x.com" not in t for t in doc1["chunk_text"])
+        # doc 3: 100 tokens -> chunks at 0 and 48
+        doc3 = out[out.doc_id == 3].sort_values("chunk_idx")
+        assert list(doc3["chunk_idx"]) == [0, 1]
+        assert list(doc3["n_tokens"]) == [64, 52]
+        # split constant per doc
+        assert out.groupby("doc_id")["split"].nunique().max() == 1
