@@ -44,6 +44,7 @@ QUERY_NAMES = [
     "corpus_alphabet",
     "chunk_documents",
     "pii_scrub",
+    "curate_training_chunks",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design
