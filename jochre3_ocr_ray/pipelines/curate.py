@@ -6,9 +6,11 @@ pipeline): quality scoring -> threshold filters -> exact dedup
 Every stage is a vectorized ``map_batches`` or a hash-partitioned
 group stage; nothing materializes the corpus.
 
-``curate_documents`` (exact-dedup only) is fully SQL-expressible and
-oracle-checked; ``curate_documents_near_dup`` adds MinHash-cluster
-pruning (approximate — rows-only check).
+``curate_documents`` (exact-dedup only), ``curate_documents_near_dup``
+(MinHash-cluster pruning — deterministically exact on this corpus, see
+``ops/dedup.py``), and ``curate_training_chunks`` (the full quality ->
+scrub -> dedup -> chunk -> split composition) are all hash-checked
+against SQL oracles.
 """
 
 from __future__ import annotations
