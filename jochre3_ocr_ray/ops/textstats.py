@@ -448,3 +448,4 @@ JOIN toks t
  AND t.pos <= c.chunk_idx * {CHUNK_STRIDE} + {CHUNK_TOKENS}
 GROUP BY c.doc_id, c.chunk_idx
 """
+
