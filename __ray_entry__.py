@@ -87,6 +87,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
+        "media_resize": multimodal.q_media_resize,
         # training-side corpus prep (corpus/learning analogs)
         "corpus_alphabet": _corpus_prep().q_corpus_alphabet,
         "training_line_examples": _corpus_prep().q_training_line_examples,
@@ -152,6 +153,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
+        "media_resize": multimodal.Q_MEDIA_RESIZE_SQL,
         "corpus_alphabet": _corpus_prep().Q_CORPUS_ALPHABET_SQL,
         "training_line_examples": _corpus_prep().Q_TRAINING_LINE_EXAMPLES_SQL,
         "training_word_examples": _corpus_prep().Q_TRAINING_WORD_EXAMPLES_SQL,

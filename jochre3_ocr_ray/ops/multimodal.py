@@ -302,3 +302,75 @@ SELECT media_id,
        AS BIGINT) AS frame_bytes
 FROM frames
 """
+
+
+# ------------------------------------------------------------- resize
+RESIZE_FACTOR = 4
+
+
+class MediaResizer:
+    """Actor-pool resize stage — the ``ResizeImageAndKeepAspectRatio``
+    service shape for binary media (small ``batch_size``: input AND
+    output payloads live in the batch). The real codec plugs into
+    ``_resize``; the fake format defines resize-by-k as keeping every
+    k-th byte, so the plumbing (actor signature, payload-in/payload-out
+    schema, scale metadata column) is real and oracle-checkable."""
+
+    def __init__(self, factor: int = RESIZE_FACTOR):
+        self.factor = factor  # codec/model state loads here
+
+    def _resize(self, payload: bytes, fmt: str) -> bytes:
+        if fmt != "fake":
+            return resize_image(payload, fmt, 0, 0)  # real-codec stub
+        return payload[:: self.factor]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        fmts = [m["format"] for m in batch["meta"].to_pylist()]
+        out = [self._resize(p, f) for p, f in zip(payloads, fmts)]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "payload": pa.array(out, type=pa.binary()),
+                "n_bytes_in": pa.array(
+                    [len(p) for p in payloads], type=pa.int64()
+                ),
+                "n_bytes_out": pa.array(
+                    [len(p) for p in out], type=pa.int64()
+                ),
+                "scale": pa.array(
+                    [1.0 / self.factor] * len(out), type=pa.float64()
+                ),
+            }
+        )
+
+
+def q_media_resize(sf_dir: str, factor: int = RESIZE_FACTOR) -> pa.Table:
+    """Resize plumbing over the synthesized media table; returns
+    (media_id, n_bytes_in, n_bytes_out, scale). Hash-checked: the fake
+    resize keeps every k-th byte, so n_bytes_out = ceil(n/k) — pure
+    byte arithmetic the oracle recomputes."""
+    media = synthesize_media_dataset(sf_dir)
+    resized = media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"factor": factor},
+        batch_format="pyarrow",
+        batch_size=256,           # payloads in AND out of the batch
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["payload"])
+
+    return resized.map_batches(project, batch_format="pyarrow")
+
+
+Q_MEDIA_RESIZE_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes_in,
+       CAST(CEIL(octet_length(encode(text)) / {RESIZE_FACTOR}.0) AS BIGINT)
+         AS n_bytes_out,
+       1.0 / {RESIZE_FACTOR} AS scale
+FROM documents
+"""
