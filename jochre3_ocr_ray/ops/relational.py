@@ -1334,6 +1334,13 @@ def q_events_quantiles(sf_dir: str, method: str = "colocate") -> pa.Table:
     return _round(result, {"median_value": 4, "p90_value": 4})
 
 
+def q_events_quantiles_histogram(sf_dir: str) -> pa.Table:
+    """The beyond-memory histogram-refine path under the SAME oracle
+    as the co-located exact path (equality is exact by construction —
+    see ``grouped_quantiles_histogram``)."""
+    return q_events_quantiles(sf_dir, method="histogram")
+
+
 Q_EVENTS_QUANTILES_SQL = """
 SELECT event_type,
        ROUND(MEDIAN(value), 4) AS median_value,
