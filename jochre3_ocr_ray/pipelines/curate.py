@@ -206,7 +206,7 @@ Q_CURATE_DOCUMENTS_NEAR_DUP_SQL = _curate_near_dup_sql()
 VAL_PCT = 10
 
 
-def q_curate_training_chunks(sf_dir: str) -> pa.Table:
+def curate_training_chunks_ds(sf_dir: str) -> "ray.data.Dataset":
     """The canonical LLM training-data pipeline composed end-to-end —
     quality filter -> PII scrub -> exact dedup (keep min id per
     SCRUBBED text, the real-world order: scrub first so near-identical
@@ -302,8 +302,14 @@ def q_curate_training_chunks(sf_dir: str) -> pa.Table:
 
         return _pd.DataFrame(rows)
 
-    out = kept.map_batches(chunk, batch_format="pandas")
-    t = _to_table(out)
+    return kept.map_batches(chunk, batch_format="pandas")
+
+
+def q_curate_training_chunks(sf_dir: str) -> pa.Table:
+    """Driver entry: materializes the (test-scale) chunk table; the
+    streaming consumer is ``curate_training_chunks_ds(...).
+    write_parquet(out, partition_cols=["split"])``."""
+    t = _to_table(curate_training_chunks_ds(sf_dir))
     if t.num_columns == 0:
         t = pa.table(
             {
