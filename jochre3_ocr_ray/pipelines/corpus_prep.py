@@ -613,12 +613,6 @@ def _fast_extraction(sf_dir: str):
 
 
 # ------------------------------------------------------------- utilities
-def build_extraction_for_corpus(turns, *, include_glyphs: bool = False):
-    from .extract import build_extraction
-
-    return build_extraction(
-        turns, include_blocks=True, include_glyphs=include_glyphs
-    )
 
 
 # typed empty-result schemas: an all-empty corpus yields zero-column
@@ -664,17 +658,6 @@ _YOLO_SCHEMA = pa.schema(
 )
 
 
-def _cast_idx(table: pa.Table, cols: list[str],
-              empty_schema: "pa.Schema | None" = None) -> pa.Table:
-    if table.num_columns == 0 and empty_schema is not None:
-        return empty_schema.empty_table()
-    out = {}
-    for name in table.column_names:
-        col = table[name]
-        if name in cols:
-            col = pc.cast(col, pa.int64())
-        out[name] = col
-    return pa.table(out)
 
 
 def alto_to_text(
