@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--run-id", required=True)
     p.add_argument("--near", action="store_true",
                    help="near-dup (MinHash band index) instead of exact")
+    p.add_argument("--buckets", type=int, default=None,
+                   help="index bucket count (fixed at creation; size so "
+                        "corpus_rows/buckets fits worker memory)")
 
     p = sub.add_parser("evaluate")
     p.add_argument("predicted_dir")
@@ -220,16 +223,17 @@ def main(argv: list[str] | None = None) -> int:
             new_ds = read_transcripts(
                 args.input_dir, columns=["doc_id", "text"]
             )
+            bkw = {"buckets": args.buckets} if args.buckets else {}
             if args.near:
                 res = near_dedup_incremental(
                     new_ds, args.index_dir, args.run_id,
-                    out_dir=args.out_dir,
+                    out_dir=args.out_dir, **bkw,
                 )
             else:
                 # exact path streams survivors to disk WORKER-side
                 res = dedup_incremental(
                     new_ds, args.index_dir, args.run_id,
-                    out_dir=args.out_dir,
+                    out_dir=args.out_dir, **bkw,
                 )
             if res["already_ingested"]:
                 metrics = {"run_id": args.run_id, "already_ingested": True}

@@ -29,6 +29,12 @@ import pyarrow as pa
 
 import ray.data
 
+# Bucket-count sizing: a bucket's committed hash set is loaded whole
+# inside its worker partition, so size buckets such that
+# corpus_rows/buckets x 8 bytes fits worker memory with headroom —
+# ~64 is right for test scale; at 10^12 rows use ~2^17 buckets
+# (~60 MB/bucket). The count is FIXED at index creation (hash % B);
+# pick it for the target corpus, not the first shard.
 DEFAULT_BUCKETS = 64
 
 
