@@ -127,3 +127,54 @@ def read_transcripts_jsonl(
         )
 
     return ds.map_batches(coerce, batch_format="pyarrow")
+
+
+def read_transcripts_csv(
+    input_dir: str | Path,
+    *,
+    pattern: str = r".*\.csv$",
+) -> "ray.data.Dataset":
+    """Third source format: CSV transcripts, coerced to the canonical
+    TRANSCRIPT_SCHEMA exactly like the JSONL reader (missing ``tool``
+    -> ""; ``ts`` parsed from ISO-8601; ``turn_idx`` -> int32) — one
+    schema downstream regardless of the wire format."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    rx = re.compile(pattern)
+    files = sorted(
+        str(p) for p in Path(input_dir).iterdir() if rx.match(p.name)
+    )
+    if not files:
+        raise FileNotFoundError(f"no files matching {pattern!r} under {input_dir}")
+    ds = ray.data.read_csv(files)
+
+    def coerce(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        names = set(batch.column_names)
+        tool = (
+            pc.fill_null(pc.cast(batch["tool"], pa.string()), "")
+            if "tool" in names
+            else pa.array([""] * n, type=pa.string())
+        )
+        ts = batch["ts"]
+        if pa.types.is_string(ts.type):
+            stripped = pc.replace_substring_regex(ts, r"Z$", "")
+            try:
+                ts = pc.cast(stripped, pa.timestamp("us"))
+            except pa.ArrowInvalid:
+                ts = pc.local_timestamp(
+                    pc.cast(stripped, pa.timestamp("us", tz="UTC"))
+                )
+        return pa.table(
+            {
+                "conv_id": pc.cast(batch["conv_id"], pa.string()),
+                "turn_idx": pc.cast(batch["turn_idx"], pa.int32()),
+                "role": pc.cast(batch["role"], pa.string()),
+                "text": pc.fill_null(pc.cast(batch["text"], pa.string()), ""),
+                "tool": pc.cast(tool, pa.string()),
+                "ts": pc.cast(ts, pa.timestamp("us")),
+            }
+        )
+
+    return ds.map_batches(coerce, batch_format="pyarrow")

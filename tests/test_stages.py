@@ -153,3 +153,76 @@ class TestJsonlSource:
         out = read_transcripts_jsonl(tmp_path).to_pandas().sort_values("turn_idx")
         got = [str(t) for t in out["ts"]]
         assert got == [want for _, want in stamps], got
+
+
+class TestCsvSource:
+    def test_csv_coerces_to_canonical_schema(self, ray_session, tmp_path):
+        """CSV transcripts land on TRANSCRIPT_SCHEMA and extract
+        identically to the same rows via parquet."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.pipelines.extract import build_extraction
+        from jochre3_ocr_ray.sources.reader import (
+            read_transcripts,
+            read_transcripts_csv,
+        )
+
+        rows = [
+            ("c1", 0, "user", "hello world", "", "2026-01-01T00:00:00"),
+            ("c1", 1, "assistant", "reply <b>bold</b>", "", "2026-01-01T00:00:05Z"),
+            ("c2", 0, "user", "second conv", "grep", "2026-01-02T10:30:00"),
+        ]
+        csv_path = tmp_path / "t.csv"
+        csv_path.write_text(
+            "conv_id,turn_idx,role,text,tool,ts\n"
+            + "\n".join(
+                f'{c},{i},{r},"{t}",{tool},{ts}'
+                for c, i, r, t, tool, ts in rows
+            )
+            + "\n"
+        )
+        ds = read_transcripts_csv(str(tmp_path))
+        got = ds.to_pandas().sort_values(["conv_id", "turn_idx"])
+        assert list(got.columns) == [
+            "conv_id", "turn_idx", "role", "text", "tool", "ts",
+        ]
+        assert str(got["turn_idx"].dtype) == "int32"
+        assert got["ts"].iloc[1].isoformat().startswith("2026-01-01T00:00:05")
+
+        # parquet twin extracts identically
+        import numpy as np
+
+        pq_dir = tmp_path / "pq"
+        pq_dir.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "conv_id": pa.array([r[0] for r in rows]),
+                    "turn_idx": pa.array([r[1] for r in rows], type=pa.int32()),
+                    "role": pa.array([r[2] for r in rows]),
+                    "text": pa.array([r[3] for r in rows]),
+                    "tool": pa.array([r[4] for r in rows]),
+                    "ts": pa.array(
+                        [np.datetime64(r[5].rstrip("Z"), "us") for r in rows]
+                    ),
+                }
+            ),
+            pq_dir / "t.parquet",
+        )
+        a = (
+            build_extraction(ds, include_blocks=False)
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        b = (
+            build_extraction(
+                read_transcripts(str(pq_dir)), include_blocks=False
+            )
+            .to_pandas()
+            .sort_values(["conv_id", "turn_idx"])
+            .reset_index(drop=True)
+        )
+        assert (a["extracted_text"] == b["extracted_text"]).all()
+        assert (a["processed_text"] == b["processed_text"]).all()
