@@ -116,6 +116,12 @@ def transform_blocks(
                 if word.get("glyphs"):
                     merged, changed = merge_word_glyphs(word["glyphs"], rules)
                     nw["glyphs"] = merged
+                    if changed:
+                        # The reference rewrites the word content from the
+                        # merged glyphs (YiddishCorpusTransformer.scala:83-85:
+                        # word.content = newGlyphs.map(_.content).mkString) so
+                        # ALTO rendering stays consistent with the glyph row.
+                        nw["text"] = "".join(g["text"] for g in merged)
                     changed_any = changed_any or changed
                 nl["words"].append(nw)
             nb["lines"].append(nl)

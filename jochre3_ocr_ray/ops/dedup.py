@@ -475,9 +475,9 @@ Q_DEDUP_MINHASH_SQL = TRUE_PAIRS_SQL
 # ------------------------------------------------- exact n-gram jaccard
 # web-scale stop-shingle guard: a shingle appearing in m docs yields
 # O(m^2) candidate pairs in its bucket; at corpus scale one boilerplate
-# bigram can dominate the whole job. ON by default ("auto"); pass
-# max_df=None for strict exactness (pairs whose EVERY shared shingle is
-# ultra-common are then kept).
+# bigram can dominate the whole job. The LIBRARY functions default to
+# max_df=None (strict exactness); the q_/CLI layer opts into "auto"
+# (corpus-scaled cap) and passes the footer row count as n_docs.
 NGRAM_AUTO_MAX_DF_FLOOR = 256
 
 
@@ -508,7 +508,7 @@ def ngram_exact_pairs(
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: "int | str | None" = "auto",
+    max_df: "int | str | None" = None,
     n_docs: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT n-gram-Jaccard pairs via an inverted shingle index + a
@@ -526,12 +526,13 @@ def ngram_exact_pairs(
     4. ``groupby(id_a, id_b)`` gathers both sides, dedups multi-bucket
        discoveries, verifies exact Jaccard >= t.
 
-    ``max_df`` (off by default — exactness) drops shingles appearing
-    in more than ``max_df`` docs from candidate GENERATION only: the
-    stop-shingle hot-bucket guard for web-scale corpora, at the cost
-    of missing pairs whose every shared shingle is ultra-common.
-    Default "auto" (see ``_resolve_max_df``); dropped buckets are
-    logged with their skipped pair volume."""
+    ``max_df`` (None by default — exactness, recall 1) drops shingles
+    appearing in more than ``max_df`` docs from candidate GENERATION
+    only: the stop-shingle hot-bucket guard for web-scale corpora, at
+    the cost of missing pairs whose every shared shingle is
+    ultra-common. Pass "auto" WITH ``n_docs`` for a corpus-scaled cap
+    (the q_/CLI layer does; see ``_resolve_max_df``); dropped buckets
+    are logged with their skipped pair volume."""
     max_df = _resolve_max_df(max_df, n_docs)
 
     def to_docsets(batch: pa.Table) -> pa.Table:
@@ -664,7 +665,7 @@ def ngram_exact_pairs_counted(
     threshold: float = JACCARD_THRESHOLD,
     id_col: str = "doc_id",
     text_col: str = "text",
-    max_df: "int | str | None" = "auto",
+    max_df: "int | str | None" = None,
     n_docs: "int | None" = None,
 ) -> "ray.data.Dataset":
     """EXACT n-gram Jaccard pairs from the inverted index ALONE — no
@@ -685,7 +686,8 @@ def ngram_exact_pairs_counted(
     (the verify loop was ~100us of pandas overhead per candidate pair;
     this is a group-size count). ``ngram_exact_pairs`` (join-back)
     remains for when downstream needs the shingle sets themselves.
-    ``max_df`` defaults to "auto" (stop-shingle guard, see
+    ``max_df`` defaults to None (exact, recall 1); pass "auto" with
+    ``n_docs`` to opt into the corpus-scaled stop-shingle guard (see
     ``_resolve_max_df``); dropped buckets are logged."""
     import pandas as pd
 
@@ -787,7 +789,9 @@ def q_dedup_ngram(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table
     # metadata-only row count (parquet footers) feeds the auto max_df
     return _round(
         _to_table(
-            ngram_exact_pairs_counted(ds, threshold, n_docs=ds.count())
+            ngram_exact_pairs_counted(
+                ds, threshold, max_df="auto", n_docs=ds.count()
+            )
         ),
         {"jaccard": 4},
     )

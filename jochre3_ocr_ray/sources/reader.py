@@ -112,8 +112,13 @@ def read_transcripts_jsonl(
             try:
                 ts = pc.cast(stripped, pa.timestamp("us"))
             except pa.ArrowInvalid:
-                ts = pc.local_timestamp(
-                    pc.cast(stripped, pa.timestamp("us", tz="UTC"))
+                # The tz-aware parse normalizes any offset to a UTC
+                # instant; the plain cast back to a naive timestamp
+                # keeps that UTC wall time (pc.local_timestamp would
+                # shift it to the machine's local zone).
+                ts = pc.cast(
+                    pc.cast(stripped, pa.timestamp("us", tz="UTC")),
+                    pa.timestamp("us"),
                 )
         return pa.table(
             {
@@ -163,8 +168,13 @@ def read_transcripts_csv(
             try:
                 ts = pc.cast(stripped, pa.timestamp("us"))
             except pa.ArrowInvalid:
-                ts = pc.local_timestamp(
-                    pc.cast(stripped, pa.timestamp("us", tz="UTC"))
+                # The tz-aware parse normalizes any offset to a UTC
+                # instant; the plain cast back to a naive timestamp
+                # keeps that UTC wall time (pc.local_timestamp would
+                # shift it to the machine's local zone).
+                ts = pc.cast(
+                    pc.cast(stripped, pa.timestamp("us", tz="UTC")),
+                    pa.timestamp("us"),
                 )
         return pa.table(
             {

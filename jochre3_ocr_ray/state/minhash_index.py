@@ -234,6 +234,14 @@ def near_dedup_incremental(
     out_run = None
     if out_dir is not None:
         out_run = Path(out_dir) / f"run_{run_id}"
+        if out_run.exists():
+            # write_parquet generates fresh file names per execution, so a
+            # crashed attempt (we got past the run_committed early-return,
+            # hence uncommitted) would double-count if its files survived.
+            # Clearing the uncommitted run dir keeps retries idempotent.
+            import shutil
+
+            shutil.rmtree(out_run)
         out_run.mkdir(parents=True, exist_ok=True)
 
     def keep(batch: pd.DataFrame) -> pd.DataFrame:
