@@ -185,24 +185,52 @@ def train_glyph_classifier(
 
 
 # -------------------------------------------------- document classifier
+DOC_FEATURE_BUCKETS = 1 << 18
+
+
+def _doc_feature(token: str, n_buckets: "int | None") -> str:
+    """Token -> feature key. With ``n_buckets`` set this is the
+    hashing trick: every token maps to one of ``n_buckets`` stable
+    buckets (blake2b-64, NOT Python's per-process ``hash``), so the
+    count partials, the driver combine and the serialized model are
+    all bounded by buckets x classes however large the corpus
+    vocabulary grows. At the default 2^18 buckets a small vocabulary
+    (v << sqrt(2^18)) is collision-free in practice, so nothing is
+    lost at test scale. ``None`` keeps exact token features."""
+    if n_buckets is None:
+        return token
+    import hashlib
+
+    h = int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(), "big"
+    )
+    return str(h % n_buckets)
+
+
 class DocClassifier:
     """Multinomial NB over word unigrams — the trainable DOC-level
     sibling of :class:`GlyphClassifier` (language ID / quality-domain
     classification for training-data routing). Same streaming fit
-    shape: per-batch (token, class) count partials, tiny driver
-    combine. Feature space is capped by hashing tokens into
-    ``n_feature_buckets`` when the observed vocabulary would exceed it
-    (the web-scale guard; exact tokens below the cap)."""
+    shape: per-batch (feature, class) count partials, tiny driver
+    combine. The feature space is capped by hashing tokens into
+    ``n_feature_buckets`` buckets (the web-scale guard — state is
+    O(buckets x classes) regardless of corpus vocabulary); pass
+    ``n_feature_buckets=None`` for exact token features."""
 
     def __init__(self, classes: list[str], class_counts: dict,
-                 feature_counts: dict, alpha: float = 0.5):
+                 feature_counts: dict, alpha: float = 0.5,
+                 n_feature_buckets: "int | None" = DOC_FEATURE_BUCKETS):
         self.classes = classes
         self.class_counts = class_counts
-        self.feature_counts = feature_counts  # token -> class -> n
+        self.feature_counts = feature_counts  # feature -> class -> n
         self.alpha = alpha
+        self.n_feature_buckets = n_feature_buckets
 
     def predict(self, text: str) -> str:
-        tokens = str(text).lower().split()
+        tokens = [
+            _doc_feature(t, self.n_feature_buckets)
+            for t in str(text).lower().split()
+        ]
         total = sum(self.class_counts.values()) or 1
         v = max(len(self.feature_counts), 1)
         best, best_s = self.classes[0] if self.classes else "", -1e30
@@ -223,6 +251,7 @@ class DocClassifier:
                 "class_counts": self.class_counts,
                 "feature_counts": self.feature_counts,
                 "alpha": self.alpha,
+                "n_feature_buckets": self.n_feature_buckets,
             }
         )
 
@@ -230,7 +259,7 @@ class DocClassifier:
     def from_json(cls, blob: str) -> "DocClassifier":
         d = json.loads(blob)
         return cls(d["classes"], d["class_counts"], d["feature_counts"],
-                   d["alpha"])
+                   d["alpha"], d.get("n_feature_buckets"))
 
 
 def train_doc_classifier(
@@ -239,18 +268,26 @@ def train_doc_classifier(
     text_col: str = "text",
     label_col: str = "lang",
     alpha: float = 0.5,
+    n_feature_buckets: "int | None" = DOC_FEATURE_BUCKETS,
 ) -> DocClassifier:
-    """One streaming count pass: each batch collapses to (token,
-    class, n) partials; the driver combines a vocabulary-sized table
-    (never documents)."""
+    """One streaming count pass: each batch collapses to (feature,
+    class, n) partials; the driver combines a table bounded by
+    min(vocabulary, ``n_feature_buckets``) x classes — never
+    documents, and never an unbounded vocabulary (tokens are hashed
+    into the bucket space inside the partial, so the cap holds on the
+    workers too)."""
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows: dict[tuple[str, str], int] = {}
         cls_rows: dict[str, int] = {}
+        feat_memo: dict[str, str] = {}
         for text, label in zip(batch[text_col], batch[label_col]):
             cls_rows[label] = cls_rows.get(label, 0) + 1
             for t in str(text).lower().split():
-                rows[(t, label)] = rows.get((t, label), 0) + 1
+                f = feat_memo.get(t)
+                if f is None:
+                    f = feat_memo[t] = _doc_feature(t, n_feature_buckets)
+                rows[(f, label)] = rows.get((f, label), 0) + 1
         return pd.DataFrame(
             [(t, c, n) for (t, c), n in rows.items()]
             + [("__class__", c, n) for c, n in cls_rows.items()],
@@ -270,4 +307,5 @@ def train_doc_classifier(
         class_counts=class_counts,
         feature_counts=feature_counts,
         alpha=alpha,
+        n_feature_buckets=n_feature_buckets,
     )

@@ -581,3 +581,41 @@ class TestDocClassifier:
         assert all(
             again.predict(t) == model.predict(t) for _, t, _ in hold[:20]
         )
+
+    def test_feature_buckets_cap_model_state(self, ray_session):
+        """The hashing-trick guard: with n_feature_buckets set, the
+        driver combine and serialized model are bounded by the bucket
+        count however large the vocabulary — and the model still
+        separates classes whose markers don't collide."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jochre3_ocr_ray.functions.learning import (
+            DocClassifier,
+            train_doc_classifier,
+        )
+
+        # vocabulary of 5000 distinct tokens >> 64 buckets
+        rows = []
+        for i in range(200):
+            lang = ["aa", "bb"][i % 2]
+            toks = [f"w{(i * 25 + j) % 5000}" for j in range(25)]
+            toks += [f"marker_{lang}"] * 6
+            rows.append((" ".join(toks), lang))
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "text": pa.array([r[0] for r in rows]),
+                    "lang": pa.array([r[1] for r in rows]),
+                }
+            )
+        )
+        model = train_doc_classifier(ds, n_feature_buckets=64)
+        assert len(model.feature_counts) <= 64
+        # round trip keeps the bucket mapping
+        again = DocClassifier.from_json(model.to_json())
+        assert again.n_feature_buckets == 64
+        acc = sum(
+            model.predict(t) == l for t, l in rows
+        ) / len(rows)
+        assert acc >= 0.9, acc
