@@ -135,7 +135,7 @@ class GlyphClassifier:
 
 def train_glyph_classifier(
     examples: "ray.data.Dataset",
-    alphabet: pa.Table,
+    alphabet: "pa.Table | None" = None,
     *,
     alpha: float = 0.5,
 ) -> GlyphClassifier:
@@ -175,12 +175,104 @@ def train_glyph_classifier(
     feature_counts: dict[str, dict[str, int]] = {}
     for row in agg[agg["feature"] != "__class__"].itertuples():
         feature_counts.setdefault(row.feature, {})[row.cls] = int(row.n)
-    classes = [g for g in alphabet["glyph"].to_pylist() if g != ""]
+    if alphabet is not None:
+        classes = [g for g in alphabet["glyph"].to_pylist() if g != ""]
+    else:
+        # classes from the observed training labels (the alphabet IS
+        # the sorted distinct label set, GlyphDataset.scala:41-48)
+        classes = sorted(class_counts)
     return GlyphClassifier(
         classes=classes,
         class_counts=class_counts,
         feature_counts=feature_counts,
         alpha=alpha,
+    )
+
+
+# ---------------------------------------------------- glyph evaluation
+GLYPH_EVAL_ACC_FLOOR = 0.9
+
+
+def glyph_confusion(
+    examples: "ray.data.Dataset", model: GlyphClassifier
+) -> pd.DataFrame:
+    """Confusion counts (label, predicted, n) of ``model`` over a
+    glyph-example table — the streaming core of the
+    ``GlyphEvaluator.evaluate`` analog (``core/learning/
+    GlyphEvaluator.scala:29-55``: guess each corpus glyph, compare to
+    the simplified expected content). Each batch collapses to its
+    (label, predicted) pair counts — bounded by |alphabet|^2, not by
+    corpus size — and predictions are memoized per distinct crop
+    trigram (the feature map only sees left/center/right), so the
+    per-batch cost is O(distinct trigrams), not O(glyphs). The model
+    is broadcast once via ``ray.put``."""
+    model_ref = ray.put(model.to_json())
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        m = GlyphClassifier.from_json(ray.get(model_ref))
+        memo: dict[tuple, str] = {}
+        counts: dict[tuple[str, str], int] = {}
+        for ex in batch.itertuples():
+            feats = tuple(
+                _example_features(ex.crop_text, ex.crop_start, ex.span_start)
+            )
+            pred = memo.get(feats)
+            if pred is None:
+                scores = m._log_scores(list(feats))
+                pred = (
+                    min(scores.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+                    if scores
+                    else ex.label
+                )
+                memo[feats] = pred
+            counts[(ex.label, pred)] = counts.get((ex.label, pred), 0) + 1
+        return pd.DataFrame(
+            [(l, p, n) for (l, p), n in counts.items()],
+            columns=["label", "predicted", "n"],
+        )
+
+    parts = examples.map_batches(partial, batch_format="pandas").to_pandas()
+    if parts.empty:
+        return pd.DataFrame(columns=["label", "predicted", "n"])
+    return parts.groupby(["label", "predicted"], as_index=False)["n"].sum()
+
+
+def evaluate_glyph_classifier(
+    examples: "ray.data.Dataset", model: GlyphClassifier
+) -> pa.Table:
+    """Per-class accuracy table + a trailing ``Mean`` row — the
+    corpus-level evaluation job the reference runs via
+    ``YiddishGlyphEvaluator`` (``yiddish/learning/
+    YiddishGlyphEvaluator.scala:38-49``, overall accuracy) extended
+    with the per-class breakdown. One streaming confusion pass
+    (:func:`glyph_confusion`); the per-class fold happens on the
+    alphabet-sized driver table."""
+    conf = glyph_confusion(examples, model)
+    labels = sorted(conf["label"].unique()) if len(conf) else []
+    rows = []
+    total_n = total_correct = 0
+    for label in labels:
+        sub = conf[conf["label"] == label]
+        n = int(sub["n"].sum())
+        n_correct = int(sub.loc[sub["predicted"] == label, "n"].sum())
+        total_n += n
+        total_correct += n_correct
+        rows.append((label, n, n_correct, n_correct / n if n else 0.0))
+    rows.append(
+        (
+            "Mean",
+            total_n,
+            total_correct,
+            total_correct / total_n if total_n else 0.0,
+        )
+    )
+    return pa.table(
+        {
+            "label": pa.array([r[0] for r in rows], type=pa.string()),
+            "n_examples": pa.array([r[1] for r in rows], type=pa.int64()),
+            "n_correct": pa.array([r[2] for r in rows], type=pa.int64()),
+            "accuracy": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
     )
 
 

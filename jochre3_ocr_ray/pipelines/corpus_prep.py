@@ -414,6 +414,123 @@ def glyph_examples(
     )
 
 
+# ------------------------------------------------------- GlyphEvaluator
+def _fast_glyph_examples(
+    extracted: "ray.data.Dataset", validation_one_every: int = 5
+) -> "ray.data.Dataset":
+    """Glyph-example rows straight from ``extracted_text`` — the
+    blocks-free fast derivation (on this corpus every glyph is one
+    non-space character; the crop window is the char padded by one,
+    exactly ``glyph_examples``' span arithmetic). Pages with
+    ``turn_idx % validation_one_every == 0`` form the holdout split
+    (the page-level analog of ``TextLineExtractor.scala:42-49``'s
+    every-Nth split, and trivially SQL-replicable)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows: dict[str, list] = {
+            "label": [], "split": [], "span_start": [],
+            "crop_start": [], "crop_text": [],
+        }
+        for turn_idx, text in zip(
+            batch["turn_idx"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            split = (
+                "val" if turn_idx % validation_one_every == 0 else "train"
+            )
+            n = len(text)
+            for i, ch in enumerate(text):
+                if ch in (" ", "\n"):
+                    continue
+                cs = max(0, i - 1)
+                rows["label"].append(simplify(ch))
+                rows["split"].append(split)
+                rows["span_start"].append(i)
+                rows["crop_start"].append(cs)
+                rows["crop_text"].append(text[cs : min(n, i + 2)])
+        return pa.table(
+            {
+                "label": pa.array(rows["label"], type=pa.string()),
+                "split": pa.array(rows["split"], type=pa.string()),
+                "span_start": pa.array(rows["span_start"], type=pa.int64()),
+                "crop_start": pa.array(rows["crop_start"], type=pa.int64()),
+                "crop_text": pa.array(rows["crop_text"], type=pa.string()),
+            }
+        )
+
+    return extracted.map_batches(explode, batch_format="pyarrow")
+
+
+def q_glyph_eval(sf_dir: str, validation_one_every: int = 5) -> pa.Table:
+    """The ``GlyphEvaluator`` job (``core/learning/GlyphEvaluator
+    .scala:29-55`` / ``yiddish/learning/YiddishGlyphEvaluator.scala``):
+    train the glyph classifier on the train split, evaluate it per
+    class on the held-out pages, report per-class example counts plus
+    a trailing ``Mean`` row. Two streaming passes over the corpus
+    (fit, then confusion) — nothing materializes; both collapse to
+    alphabet-bounded driver tables.
+
+    Oracle shape (IVF-style invariant row): per-class ``n_examples``
+    is recomputed exactly by the SQL twin (holdout char counts), and
+    ``accuracy_ok`` pins the model's overall holdout accuracy >=
+    {floor} — on this clean corpus the center-char feature is
+    class-unique, so NB accuracy is ~1; the full per-class
+    accuracy/confusion table is available via
+    ``evaluate_glyph_classifier`` / ``glyph_confusion`` (pytest-
+    pinned)."""
+    from ..functions.learning import (
+        GLYPH_EVAL_ACC_FLOOR,
+        evaluate_glyph_classifier,
+        train_glyph_classifier,
+    )
+
+    extracted = _fast_extraction(sf_dir)
+    examples = _fast_glyph_examples(extracted, validation_one_every)
+
+    def only(split: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["split"], split))
+
+        return f
+
+    model = train_glyph_classifier(
+        examples.map_batches(only("train"), batch_format="pyarrow")
+    )
+    per_class = evaluate_glyph_classifier(
+        examples.map_batches(only("val"), batch_format="pyarrow"), model
+    ).to_pandas()
+    mean = per_class[per_class["label"] == "Mean"]
+    acc_ok = bool(
+        (mean["accuracy"] >= GLYPH_EVAL_ACC_FLOOR).all()
+    ) and len(mean) == 1
+    return pa.table(
+        {
+            "label": pa.array(per_class["label"], type=pa.string()),
+            "n_examples": pa.array(per_class["n_examples"], type=pa.int64()),
+            "accuracy_ok": pa.array(
+                [acc_ok] * len(per_class), type=pa.bool_()
+            ),
+        }
+    )
+
+
+Q_GLYPH_EVAL_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+g AS (
+  SELECT substring(extracted_text, s.n, 1) AS label
+  FROM t, LATERAL (
+    SELECT unnest(generate_series(1, LENGTH(extracted_text))) AS n
+  ) s
+  WHERE turn_idx % 5 = 0
+    AND substring(extracted_text, s.n, 1) <> ' '
+)
+SELECT label, CAST(COUNT(*) AS BIGINT) AS n_examples, true AS accuracy_ok
+FROM g GROUP BY label
+UNION ALL
+SELECT 'Mean', CAST(COUNT(*) AS BIGINT), true FROM g
+"""
+
+
 # ----------------------------------------------------------- YoloAnnotator
 YOLO_CLASSES = ("word", "textline")
 

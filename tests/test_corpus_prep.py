@@ -263,6 +263,103 @@ class TestGlyphTrainer:
             assert again.predict(word, i) == trained.predict(word, i)
 
 
+class TestGlyphEvaluator:
+    """GlyphEvaluator analog: per-class accuracy/confusion over a
+    holdout example table (core/learning/GlyphEvaluator.scala:29-55)."""
+
+    def _examples(self, rows):
+        """rows = [(label, crop_text, crop_start, span_start)]"""
+        import pyarrow as pa
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "label": pa.array([r[0] for r in rows]),
+                    "crop_text": pa.array([r[1] for r in rows]),
+                    "crop_start": pa.array(
+                        [r[2] for r in rows], type=pa.int64()
+                    ),
+                    "span_start": pa.array(
+                        [r[3] for r in rows], type=pa.int64()
+                    ),
+                }
+            )
+        )
+
+    def test_per_class_rows_and_mean(self, ray_session):
+        from jochre3_ocr_ray.functions.learning import (
+            evaluate_glyph_classifier,
+            train_glyph_classifier,
+        )
+
+        # train 'a' flanked by spaces, 'b' flanked by 'x'
+        train = self._examples(
+            [("a", " a ", 0, 1)] * 20 + [("b", "xbx", 0, 1)] * 20
+        )
+        model = train_glyph_classifier(train)
+        # holdout: clean 'a's, clean 'b's, and two 'b's whose crop
+        # context looks exactly like an 'a' (guaranteed misclassified:
+        # center+both neighbours vote 'a')
+        hold = self._examples(
+            [("a", " a ", 0, 1)] * 10
+            + [("b", "xbx", 0, 1)] * 8
+            + [("b", " a ", 0, 1)] * 2
+        )
+        out = evaluate_glyph_classifier(hold, model).to_pandas()
+        by = out.set_index("label")
+        assert by.loc["a", "n_examples"] == 10
+        assert by.loc["a", "n_correct"] == 10
+        assert by.loc["a", "accuracy"] == 1.0
+        assert by.loc["b", "n_examples"] == 10
+        assert by.loc["b", "n_correct"] == 8
+        assert abs(by.loc["b", "accuracy"] - 0.8) < 1e-12
+        assert by.loc["Mean", "n_examples"] == 20
+        assert by.loc["Mean", "n_correct"] == 18
+        assert abs(by.loc["Mean", "accuracy"] - 0.9) < 1e-12
+        # confusion pins WHERE the misses went
+        from jochre3_ocr_ray.functions.learning import glyph_confusion
+
+        conf = glyph_confusion(hold, model)
+        conf = {
+            (r.label, r.predicted): r.n for r in conf.itertuples()
+        }
+        assert conf[("b", "a")] == 2
+        assert conf[("b", "b")] == 8
+
+    def test_q_glyph_eval_split_and_floor(self, ray_session, tmp_path):
+        """The driver query over a tiny synthesized documents table:
+        holdout pages are exactly turn_idx % 5 == 0 and the clean
+        corpus clears the accuracy floor."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.transcripts import N_CONVS
+        from jochre3_ocr_ray.pipelines.corpus_prep import q_glyph_eval
+
+        texts = ["abc abd bca"] * (3 * N_CONVS)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(
+                        range(len(texts)), type=pa.int64()
+                    ),
+                    "text": pa.array(texts),
+                    "lang": pa.array(["en"] * len(texts)),
+                }
+            ),
+            str(tmp_path / "documents.parquet"),
+        )
+        out = q_glyph_eval(str(tmp_path)).to_pandas()
+        by = out.set_index("label")
+        # holdout = turn_idx 0 pages = N_CONVS pages, 9 glyphs each
+        # ('abc abd bca': 3 a, 3 b, 2 c, 1 d)
+        assert by.loc["Mean", "n_examples"] == 9 * N_CONVS
+        for g, k in [("a", 3), ("b", 3), ("c", 2), ("d", 1)]:
+            assert by.loc[g, "n_examples"] == k * N_CONVS
+        assert out["accuracy_ok"].all()
+
+
 class TestGlyphMergeRules:
     """YiddishCorpusTransformer's adjacent-glyph ligature fold."""
 
