@@ -16,6 +16,7 @@ Order matters and is part of the spec.
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 
@@ -51,6 +52,17 @@ def simplify(text: str) -> str:
     for pattern, repl in _TABLE:
         out = pattern.sub(repl, out)
     return out
+
+
+# Memoized variant for the per-TOKEN / per-CHAR hot loops (corpus-prep
+# explodes, glyph labels): the token vocabulary repeats heavily, so a
+# bounded cache turns the dominant per-token regex cost into a dict
+# hit. Do NOT use for full-document texts — those are unique and would
+# only churn the cache. (Defined as its own decorated function so the
+# wrapper pickles by reference into Ray tasks.)
+@functools.lru_cache(maxsize=1 << 16)
+def simplify_cached(text: str) -> str:
+    return simplify(text)
 
 
 _WS_RUN = re.compile("[ \t\f\v]+")

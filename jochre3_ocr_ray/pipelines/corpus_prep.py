@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.normalize import simplify
+from ..functions.normalize import simplify, simplify_cached
 from ..ops.relational import _round, _to_table
 from ..ops.transcripts import _DERIVE_SQL, N_CONVS, derive_transcripts
 
@@ -206,7 +206,7 @@ def word_examples(
                         "example_id": (
                             f"{page['conv_id']}_{page['turn_idx']:05d}_{i:04d}"
                         ),
-                        "content": simplify(text[s:e]),
+                        "content": simplify_cached(text[s:e]),
                         "span_start": s,
                         "span_end": e,
                         "split": _split_for(i, validation_one_every),
@@ -237,7 +237,7 @@ def q_training_word_examples(sf_dir: str) -> pa.Table:
                     rows["example_id"].append(
                         f"{conv_id}_{turn_idx:05d}_{i:04d}"
                     )
-                    rows["content"].append(simplify(m.group(0)))
+                    rows["content"].append(simplify_cached(m.group(0)))
                     rows["span_start"].append(m.start())
                     rows["span_end"].append(m.end())
                     rows["split"].append(_split_for(i, 10))
@@ -292,7 +292,7 @@ def corpus_alphabet(extracted: "ray.data.Dataset") -> pa.Table:
                 for line in block["lines"]:
                     for word in line["words"]:
                         for glyph in word["glyphs"] or []:
-                            seen.add(simplify(glyph["text"]))
+                            seen.add(simplify_cached(glyph["text"]))
         return pa.table({"glyph": pa.array(sorted(seen), type=pa.string())})
 
     partials = extracted.map_batches(partial, batch_format="pyarrow")
@@ -316,7 +316,7 @@ def q_corpus_alphabet(sf_dir: str) -> pa.Table:
             seen.update(text)
         seen -= {" ", "\n"}
         return pa.table(
-            {"glyph": pa.array(sorted(simplify(c) for c in seen))}
+            {"glyph": pa.array(sorted(simplify_cached(c) for c in seen))}
         )
 
     partials = extracted.map_batches(partial, batch_format="pyarrow")
@@ -383,7 +383,7 @@ def glyph_examples(
                     for glyph in word["glyphs"] or []:
                         s = glyph["span"]["start"]
                         e = glyph["span"]["end"]
-                        label = simplify(glyph["text"])
+                        label = simplify_cached(glyph["text"])
                         cs, ce = max(0, s - 1), min(n, e + 1)
                         rows["conv_id"].append(page["conv_id"])
                         rows["turn_idx"].append(page["turn_idx"])
@@ -443,7 +443,7 @@ def _fast_glyph_examples(
                 if ch in (" ", "\n"):
                     continue
                 cs = max(0, i - 1)
-                rows["label"].append(simplify(ch))
+                rows["label"].append(simplify_cached(ch))
                 rows["split"].append(split)
                 rows["span_start"].append(i)
                 rows["crop_start"].append(cs)
@@ -485,7 +485,13 @@ def q_glyph_eval(sf_dir: str, validation_one_every: int = 5) -> pa.Table:
     )
 
     extracted = _fast_extraction(sf_dir)
-    examples = _fast_glyph_examples(extracted, validation_one_every)
+    # Materialize the exploded examples once: fit and confusion are
+    # two passes over the SAME table, and re-deriving it would re-run
+    # the whole extraction per pass. This is the in-memory analog of
+    # the prepared corpus the reference trains from (at real scale
+    # ``prepare_training_corpus`` writes this table to parquet and
+    # both passes read it back).
+    examples = _fast_glyph_examples(extracted, validation_one_every).materialize()
 
     def only(split: str):
         def f(batch: pa.Table) -> pa.Table:
