@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_semi_bigorder": relational.q_customers_semi_bigorder,
         "events_quantiles": relational.q_events_quantiles,
         "events_quantiles_histogram": relational.q_events_quantiles_histogram,
+        "events_quantiles_tdigest": relational.q_events_quantiles_tdigest,
         "sample_documents": relational.q_sample_documents,
         "top_orders_per_priority": relational.q_top_orders_per_priority,
         "events_corr": relational.q_events_corr,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "customers_semi_bigorder": relational.Q_CUSTOMERS_SEMI_BIGORDER_SQL,
         "events_quantiles": relational.Q_EVENTS_QUANTILES_SQL,
         "events_quantiles_histogram": relational.Q_EVENTS_QUANTILES_SQL,
+        "events_quantiles_tdigest": relational.Q_EVENTS_QUANTILES_TDIGEST_SQL,
         "sample_documents": relational.Q_SAMPLE_DOCUMENTS_SQL,
         "top_orders_per_priority": relational.Q_TOP_ORDERS_PER_PRIORITY_SQL,
         "events_corr": relational.Q_EVENTS_CORR_SQL,

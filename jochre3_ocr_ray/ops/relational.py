@@ -1145,6 +1145,16 @@ def grouped_quantiles_histogram(
     inside the (now tiny) range and interpolates the exact
     ``np.quantile`` answer from the true global ranks. Driver state is
     one (lo, hi) per group×quantile — never data.
+
+    SCALE BOUND: driver state and the broadcast ranges dict are
+    O(groups × len(qs)) (~100 B per entry), so this path assumes a
+    BOUNDED group domain — fine up to ~10⁶ group×quantile targets
+    (≈100 MB driver heap + per-pass ``ray.put``). Beyond that,
+    partition the state: hash-split the GROUP DOMAIN into ranges of
+    ~10⁵ groups, run this function once per split with a
+    pre-filtered ``ds`` (the passes stay streaming), or use the
+    co-located exact path / an approximate sketch
+    (``grouped_quantiles_tdigest``) instead.
     """
     import numpy as np
     import pandas as pd
@@ -1351,6 +1361,239 @@ GROUP BY event_type
 """
 
 
+# -------------------------------------------- one-pass t-digest sketch
+TDIGEST_DELTA = 200
+# rank-error budget for the bound-checked driver rows: the k1 scale
+# function concentrates centroids at the tails, so mid-quantile rank
+# error at delta=200 is empirically well under 1%; 2% leaves margin
+# for adversarial orderings without hiding a broken sketch.
+TDIGEST_RANK_EPS = 0.02
+
+
+def _td_compress(means, weights, delta: int):
+    """Merge (mean, weight) centroid lists down to ~``delta`` clusters
+    with the k1 (arcsin) scale function — the merging-digest compress
+    step (Dunning & Ertl, "Computing extremely accurate quantiles
+    using t-digests"). Deterministic: stable sort by mean, single
+    left-to-right fold. Works both for raw values (weights of 1) and
+    for merging already-compressed digests."""
+    import numpy as np
+
+    means = np.asarray(means, dtype=np.float64)
+    weights = np.asarray(weights, dtype=np.float64)
+    if means.size <= 1:
+        return means, weights
+    order = np.argsort(means, kind="stable")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+
+    def k_fn(q: float) -> float:
+        q = min(max(q, 0.0), 1.0)
+        return delta * (np.arcsin(2.0 * q - 1.0) / np.pi + 0.5)
+
+    def k_inv(k: float) -> float:
+        k = min(max(k, 0.0), float(delta))
+        return (np.sin(k * np.pi / delta - np.pi / 2.0) + 1.0) / 2.0
+
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w = float(means[0]), float(weights[0])
+    w_done = 0.0
+    q_limit = k_inv(k_fn(0.0) + 1.0)
+    for m, w in zip(means[1:], weights[1:]):
+        if (w_done + cur_w + w) / total <= q_limit:
+            cur_m += (m - cur_m) * (w / (cur_w + w))
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_done += cur_w
+            q_limit = k_inv(k_fn(w_done / total) + 1.0)
+            cur_m, cur_w = float(m), float(w)
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.asarray(out_m), np.asarray(out_w)
+
+
+def _td_quantile(means, weights, lo: float, hi: float, q: float) -> float:
+    """Estimate quantile ``q`` from a compressed digest: centroids sit
+    at the centers of their cumulative-weight spans; linear
+    interpolation between adjacent centers, anchored at the exact
+    (min, max) for the tails."""
+    import numpy as np
+
+    total = float(weights.sum())
+    if means.size == 0:
+        return float("nan")
+    if means.size == 1:
+        return float(means[0])
+    t = q * total
+    cum = np.cumsum(weights)
+    centers = cum - weights / 2.0
+    if t <= centers[0]:
+        span = centers[0]
+        if span <= 0:
+            return float(means[0])
+        return float(lo + (t / span) * (means[0] - lo))
+    if t >= centers[-1]:
+        span = total - centers[-1]
+        if span <= 0:
+            return float(means[-1])
+        return float(means[-1] + ((t - centers[-1]) / span) * (hi - means[-1]))
+    i = int(np.searchsorted(centers, t))
+    frac = (t - centers[i - 1]) / (centers[i] - centers[i - 1])
+    return float(means[i - 1] + frac * (means[i] - means[i - 1]))
+
+
+def grouped_quantiles_tdigest(
+    ds,
+    key: str,
+    value: str,
+    qs: list[float],
+    *,
+    delta: int = TDIGEST_DELTA,
+) -> "tuple[dict[tuple[str, float], float], dict[str, int]]":
+    """ONE-PASS approximate grouped quantiles — the t-digest sketch
+    the ``grouped_quantiles_histogram`` docstring hands one-touch SLAs
+    to (that path is exact but costs 1 + refine_iters + 1 streaming
+    passes; this one reads the data exactly once).
+
+    Plumbing: each batch compresses its per-group values into a
+    ≤``delta``-centroid digest (means/weights serialized as float64
+    bytes — one tiny row per group per batch, never data); a
+    ``groupby(key).map_groups`` merges each group's partial digests
+    (digest merge = concatenate centroids + re-compress, the published
+    merging-digest property); the driver reads back one row per group
+    and interpolates the requested quantiles. Driver state is
+    O(groups × delta) floats; the shuffle moves only digests.
+
+    Returns ``({(group, q): estimate}, {group: n})``. Rank error is
+    bounded by the scale function (~O(q(1-q)/delta)); the driver query
+    pins it against an exact rank pass, and pytest sweeps it."""
+    import numpy as np
+    import pandas as pd
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        rows = {key: [], "means": [], "weights": [], "lo": [], "hi": [], "n": []}
+        for gkey, g in batch.groupby(key, sort=False):
+            vals = g[value].to_numpy(dtype=np.float64)
+            m, w = _td_compress(vals, np.ones_like(vals), delta)
+            rows[key].append(gkey)
+            rows["means"].append(m.tobytes())
+            rows["weights"].append(w.tobytes())
+            rows["lo"].append(float(vals.min()))
+            rows["hi"].append(float(vals.max()))
+            rows["n"].append(int(vals.size))
+        return pd.DataFrame(rows)
+
+    parts = ds.map_batches(partial, batch_format="pandas")
+
+    def merge(group: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in group["means"]]
+        )
+        weights = np.concatenate(
+            [np.frombuffer(b, dtype=np.float64) for b in group["weights"]]
+        )
+        m, w = _td_compress(means, weights, delta)
+        return pd.DataFrame(
+            {
+                key: [group[key].iloc[0]],
+                "means": [m.tobytes()],
+                "weights": [w.tobytes()],
+                "lo": [float(group["lo"].min())],
+                "hi": [float(group["hi"].max())],
+                "n": [int(group["n"].sum())],
+            }
+        )
+
+    merged = (
+        parts.groupby(key).map_groups(merge, batch_format="pandas").to_pandas()
+    )
+    qmap: dict[tuple[str, float], float] = {}
+    counts: dict[str, int] = {}
+    for row in merged.itertuples():
+        gkey = getattr(row, key)
+        m = np.frombuffer(row.means, dtype=np.float64)
+        w = np.frombuffer(row.weights, dtype=np.float64)
+        counts[gkey] = int(row.n)
+        for q in qs:
+            qmap[(gkey, q)] = _td_quantile(m, w, row.lo, row.hi, q)
+    return qmap, counts
+
+
+def q_events_quantiles_tdigest(sf_dir: str) -> pa.Table:
+    """Bound-checked driver rows for the one-pass t-digest path (the
+    IVF-style invariant oracle): per (event_type, q), ``n`` is the
+    exact group count and ``within_bound`` asserts the sketch
+    estimate's TRUE rank (measured by an exact streaming count pass —
+    verification harness, not part of the one-pass sketch) sits within
+    ``TDIGEST_RANK_EPS`` of q. The SQL oracle recomputes n and demands
+    every bound hold."""
+    import numpy as np
+    import pandas as pd
+
+    events = _read(sf_dir, "events", columns=["event_type", "value"])
+    qs = [0.5, 0.9]
+    qmap, counts = grouped_quantiles_tdigest(events, "event_type", "value", qs)
+
+    ests_ref = ray.put(qmap)
+
+    def rank_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ests = ray.get(ests_ref)
+        rows = {"event_type": [], "q": [], "lt": [], "le": []}
+        for gkey, g in batch.groupby("event_type", sort=False):
+            vals = g["value"].to_numpy(dtype=np.float64)
+            for q in qs:
+                est = ests[(gkey, q)]
+                rows["event_type"].append(gkey)
+                rows["q"].append(q)
+                rows["lt"].append(int((vals < est).sum()))
+                rows["le"].append(int((vals <= est).sum()))
+        return pd.DataFrame(rows)
+
+    ranks = (
+        _to_table(events.map_batches(rank_partial, batch_format="pandas"))
+        .to_pandas()
+        .groupby(["event_type", "q"], as_index=False)
+        .agg(lt=("lt", "sum"), le=("le", "sum"))
+        .sort_values(["event_type", "q"])
+    )
+    out = {"event_type": [], "q": [], "n": [], "within_bound": []}
+    for row in ranks.itertuples():
+        n = counts[row.event_type]
+        # ties/interpolation make the estimate's rank an interval
+        # [lt/n, le/n]; the bound holds if q falls inside it padded
+        # by the rank-error budget
+        ok = (row.lt / n - TDIGEST_RANK_EPS) <= row.q <= (
+            row.le / n + TDIGEST_RANK_EPS
+        )
+        out["event_type"].append(row.event_type)
+        out["q"].append(float(row.q))
+        out["n"].append(int(n))
+        out["within_bound"].append(bool(ok))
+    return pa.table(
+        {
+            "event_type": pa.array(out["event_type"], type=pa.string()),
+            "q": pa.array(out["q"], type=pa.float64()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "within_bound": pa.array(out["within_bound"], type=pa.bool_()),
+        }
+    )
+
+
+Q_EVENTS_QUANTILES_TDIGEST_SQL = """
+SELECT event_type,
+       q,
+       COUNT(*) AS n,
+       TRUE AS within_bound
+FROM events
+CROSS JOIN (SELECT UNNEST([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE)]) AS q) qs
+GROUP BY event_type, q
+ORDER BY event_type, q
+"""
+
+
 # ------------------------------------------------- deterministic sample
 SAMPLE_RATE_PCT = 25
 
@@ -1368,9 +1611,12 @@ def q_sample_documents(sf_dir: str, rate_pct: int = SAMPLE_RATE_PCT) -> pa.Table
     threshold = (1 << 32) * rate_pct // 100
 
     def pick(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_pylist()
+        # int→str cast in Arrow C; the loop body is only the C md5 —
+        # first 4 digest bytes big-endian == int(hexdigest[:8], 16)
+        ids = pc.cast(batch["doc_id"], pa.string()).to_pylist()
+        md5 = hashlib.md5
         keep = [
-            int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) < threshold
+            int.from_bytes(md5(i.encode()).digest()[:4], "big") < threshold
             for i in ids
         ]
         return batch.filter(pa.array(keep))

@@ -20,7 +20,6 @@ import ray.data
 
 from .relational import _read, _round
 
-_WS = re.compile(r"\s+")
 
 
 # ------------------------------------------------------------ token count
@@ -102,11 +101,15 @@ def q_fingerprint(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        texts = batch["text"].to_pylist()
-        digests = [
-            hashlib.md5(_WS.sub(" ", t.strip()).lower().encode("utf-8")).hexdigest()
-            for t in texts
-        ]
+        # normalization (trim / ws-collapse / lower) runs in Arrow's C
+        # kernels; the residual per-row Python is only the C md5 call
+        norm = pc.utf8_lower(
+            pc.replace_substring_regex(
+                pc.utf8_trim_whitespace(batch["text"]), r"\s+", " "
+            )
+        )
+        md5 = hashlib.md5
+        digests = [md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],

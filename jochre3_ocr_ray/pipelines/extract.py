@@ -198,8 +198,11 @@ def run_extraction(
         # (zero-CPU accumulator actor fed by a fused counting stage) —
         # neither the old serial driver re-read of every output file
         # (VERDICT r1 item 5) nor a second Dataset execution per shard
-        # (measured ~1-2s fixed cost each). The per-batch ray.get ack
-        # guarantees every add is applied before write_parquet returns.
+        # (measured ~1-2s fixed cost each). The blocking ray.get ack
+        # guarantees every add is applied before write_parquet returns;
+        # batch_size=None below makes it ONE round-trip per output
+        # block (not per 4096-row batch), so the synchronous ack cost
+        # is O(blocks) per shard against the shard's own actor.
         acc = _MetricsAccumulator.remote()
 
         def count_batch(t):
@@ -219,7 +222,9 @@ def run_extraction(
             )
             return t
 
-        out = prepared[i].map_batches(count_batch, batch_format="pyarrow")
+        out = prepared[i].map_batches(
+            count_batch, batch_format="pyarrow", batch_size=None
+        )
         out.write_parquet(str(tmp), partition_cols=["bucket"])
         _, n_words, n_empty = ray.get(acc.totals.remote())
         # the committed row count comes from the written files' parquet

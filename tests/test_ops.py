@@ -975,3 +975,79 @@ class TestCurateTrainingChunks:
         assert list(doc3["n_tokens"]) == [64, 52]
         # split constant per doc
         assert out.groupby("doc_id")["split"].nunique().max() == 1
+
+
+class TestTDigestQuantiles:
+    def test_compress_invariants(self):
+        """Compression preserves total weight and the weighted mean,
+        caps centroid count near delta, keeps means sorted, and is
+        deterministic across permutations of the input."""
+        import numpy as np
+
+        from jochre3_ocr_ray.ops.relational import _td_compress
+
+        rng = np.random.RandomState(5)
+        vals = rng.lognormal(0, 2, 50000)
+        m, w = _td_compress(vals, np.ones_like(vals), 200)
+        assert w.sum() == pytest.approx(len(vals))
+        assert float((m * w).sum()) == pytest.approx(float(vals.sum()), rel=1e-9)
+        assert len(m) <= 2 * 200  # k1 scale: ~delta clusters
+        assert np.all(np.diff(m) >= 0)
+        m2, w2 = _td_compress(vals[::-1].copy(), np.ones_like(vals), 200)
+        np.testing.assert_allclose(m, m2)
+        np.testing.assert_allclose(w, w2)
+
+    def test_rank_error_sweep(self, ray_session):
+        """One-pass sketch rank error stays under TDIGEST_RANK_EPS
+        across distribution shapes (uniform, lognormal, heavy ties)
+        and quantiles, with multi-partition merge in the loop."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.relational import (
+            TDIGEST_RANK_EPS,
+            grouped_quantiles_tdigest,
+        )
+
+        rng = np.random.RandomState(17)
+        frames = [
+            pd.DataFrame({"g": "uniform", "v": rng.uniform(0, 1, 20000)}),
+            pd.DataFrame({"g": "lognorm", "v": rng.lognormal(0, 3, 20000)}),
+            pd.DataFrame(
+                {
+                    "g": "ties",
+                    "v": np.concatenate(
+                        [np.ones(15000), rng.uniform(10, 20, 5000)]
+                    ),
+                }
+            ),
+            pd.DataFrame({"g": "single", "v": [7.0]}),
+        ]
+        df = pd.concat(frames, ignore_index=True).sample(
+            frac=1.0, random_state=2
+        )
+        qs = [0.01, 0.1, 0.5, 0.9, 0.99]
+        ds = rd.from_pandas(df).repartition(16)
+        qmap, counts = grouped_quantiles_tdigest(ds, "g", "v", qs)
+        for g, grp in df.groupby("g"):
+            vals = np.sort(grp["v"].to_numpy())
+            n = len(vals)
+            assert counts[g] == n
+            for q in qs:
+                est = qmap[(g, q)]
+                lt = int(np.searchsorted(vals, est, side="left"))
+                le = int(np.searchsorted(vals, est, side="right"))
+                assert (lt / n - TDIGEST_RANK_EPS) <= q <= (
+                    le / n + TDIGEST_RANK_EPS
+                ), (g, q, est, lt / n, le / n)
+
+    def test_driver_query_bounds_hold(self, ray_session):
+        """The driver invariant rows come back all-true at sf0.001."""
+        from jochre3_ocr_ray.ops.relational import (
+            q_events_quantiles_tdigest,
+        )
+
+        t = q_events_quantiles_tdigest("/root/testdata/sf0.001").to_pandas()
+        assert len(t) == 10  # 5 event types x 2 quantiles
+        assert t["within_bound"].all()
