@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_line_examples": _corpus_prep().q_training_line_examples,
         "training_word_examples": _corpus_prep().q_training_word_examples,
         "yolo_annotations": _corpus_prep().q_yolo_annotations,
+        "word_to_glyph_annotations": _corpus_prep().q_word_to_glyph_annotations,
         "glyph_eval": _corpus_prep().q_glyph_eval,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
@@ -163,6 +164,7 @@ def oracle_sql() -> dict[str, str]:
         "training_line_examples": _corpus_prep().Q_TRAINING_LINE_EXAMPLES_SQL,
         "training_word_examples": _corpus_prep().Q_TRAINING_WORD_EXAMPLES_SQL,
         "yolo_annotations": _corpus_prep().Q_YOLO_ANNOTATIONS_SQL,
+        "word_to_glyph_annotations": _corpus_prep().Q_WORD_TO_GLYPH_ANNOTATIONS_SQL,
         "glyph_eval": _corpus_prep().Q_GLYPH_EVAL_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,

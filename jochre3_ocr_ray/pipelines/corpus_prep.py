@@ -698,6 +698,138 @@ SELECT * FROM words UNION ALL SELECT * FROM tlines
 """
 
 
+# ------------------------------------------- YoloWordToGlyphAnnotator
+def word_to_glyph_annotations(
+    extracted: "ray.data.Dataset",
+    *,
+    validation_one_every: int | None = 10,
+    page_index_fn=None,
+) -> "ray.data.Dataset":
+    """Word-crop → glyph YOLO labels — the word-to-glyph-splitter
+    training set (``YoloWordToGlyphAnnotator.scala:22-131``): one row
+    per glyph, box normalized to its COMBINED WORD's rectangle (the
+    word crop the reference saves as ``baseName_%04d``), single
+    class 0 ``glyph``; width/height clamped to 1.0 exactly as the
+    reference clamps boxes that overrun the crop. ``word_idx`` is the
+    page-level combined-word counter (the crop id); the train/val
+    split is by PAGE index, as in ``yolo_annotations``. Streaming
+    flat_map over the extraction — same scale shape as the other
+    annotators."""
+    if page_index_fn is None:
+        def page_index_fn(page: dict) -> int:
+            return page["turn_idx"] * N_CONVS + int(page["conv_id"][4:])
+
+    def annotator(page: dict) -> list[dict]:
+        split = _split_for(page_index_fn(page), validation_one_every)
+        rows: list[dict] = []
+        w_i = 0
+        for _, line in _page_lines(page):
+            # combined-word groups carrying their glyph lists (the
+            # ``page.combinedWords`` fold, glyphs concatenated)
+            groups: list[list] = []
+            for w in line["words"]:
+                s, e = w["span"]["start"], w["span"]["end"]
+                if groups and s == groups[-1][1]:
+                    groups[-1][1] = e
+                    groups[-1][2].extend(w["glyphs"] or [])
+                else:
+                    groups.append([s, e, list(w["glyphs"] or [])])
+            for s, e, glyphs in groups:
+                ww = e - s
+                if ww > 0:
+                    for gi, g in enumerate(glyphs):
+                        gs = g["span"]["start"]
+                        ge = g["span"]["end"]
+                        rows.append(
+                            {
+                                "conv_id": page["conv_id"],
+                                "turn_idx": page["turn_idx"],
+                                "word_idx": w_i,
+                                "glyph_idx": gi,
+                                "class_name": "glyph",
+                                "class_idx": 0,
+                                "cx": ((gs + ge) / 2.0 - s) / ww,
+                                "cy": 0.5,
+                                "w": min((ge - gs) / ww, 1.0),
+                                "h": 1.0,
+                                "split": split,
+                            }
+                        )
+                w_i += 1
+        return rows
+
+    return annotate_corpus(extracted, annotator)
+
+
+def q_word_to_glyph_annotations(sf_dir: str) -> pa.Table:
+    """Fast-path twin of ``word_to_glyph_annotations`` by the span
+    contract: combined words are the non-space runs per line, glyphs
+    their single characters (equality with the structural operator is
+    test-pinned on the markup corpus)."""
+    extracted = _fast_extraction(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _W2G_SCHEMA.names}
+        for conv_id, turn_idx, text in zip(
+            batch["conv_id"].to_pylist(),
+            batch["turn_idx"].to_pylist(),
+            batch["extracted_text"].to_pylist(),
+        ):
+            lines = _text_line_spans(text)
+            if not lines:
+                continue
+            page_index = turn_idx * N_CONVS + int(conv_id[4:])
+            split = _split_for(page_index, 10)
+            w_i = 0
+            for ls, le in lines:
+                for m in _WORD_RUN.finditer(text, ls, le):
+                    s, e = m.start(), m.end()
+                    ww = e - s
+                    for gi in range(ww):
+                        rows["conv_id"].append(conv_id)
+                        rows["turn_idx"].append(turn_idx)
+                        rows["word_idx"].append(w_i)
+                        rows["glyph_idx"].append(gi)
+                        rows["class_name"].append("glyph")
+                        rows["class_idx"].append(0)
+                        rows["cx"].append((gi + 0.5) / ww)
+                        rows["cy"].append(0.5)
+                        rows["w"].append(1.0 / ww)
+                        rows["h"].append(1.0)
+                        rows["split"].append(split)
+                    w_i += 1
+        return pa.Table.from_pydict(rows, schema=_W2G_SCHEMA)
+
+    out = extracted.map_batches(explode, batch_format="pyarrow")
+    return _round(_to_table(out), {"cx": 6, "cy": 6, "w": 6, "h": 6})
+
+
+Q_WORD_TO_GLYPH_ANNOTATIONS_SQL = f"""
+WITH t AS ({_DERIVE_SQL}),
+pages AS (
+  SELECT conv_id, turn_idx, extracted_text,
+         turn_idx * {N_CONVS} + CAST(SUBSTR(conv_id, 5) AS INT) AS page_index
+  FROM t WHERE extracted_text <> ''
+),
+toks AS (
+  SELECT conv_id, turn_idx, page_index,
+         unnest(string_split(extracted_text, ' ')) AS tok,
+         generate_subscripts(string_split(extracted_text, ' '), 1) AS k
+  FROM pages
+)
+SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
+       CAST(k - 1 AS BIGINT) AS word_idx,
+       CAST(g - 1 AS BIGINT) AS glyph_idx,
+       'glyph' AS class_name, CAST(0 AS BIGINT) AS class_idx,
+       ROUND((g - 0.5) / LENGTH(tok), 6) AS cx,
+       0.5 AS cy,
+       ROUND(1.0 / LENGTH(tok), 6) AS w,
+       1.0 AS h,
+       CASE WHEN (page_index + 1) % 10 = 0 THEN 'val' ELSE 'train' END AS split
+FROM toks, UNNEST(range(1, LENGTH(tok) + 1)) gs(g)
+"""
+
+
 # ---------------------------------------------------- fast text derivation
 # The structural operators above walk the nested blocks column — the
 # general path (custom segmenters, hyphen elements, alternatives all
@@ -772,6 +904,21 @@ _YOLO_SCHEMA = pa.schema(
         pa.field("class_name", pa.string()),
         pa.field("class_idx", pa.int64()),
         pa.field("obj_idx", pa.int64()),
+        pa.field("cx", pa.float64()),
+        pa.field("cy", pa.float64()),
+        pa.field("w", pa.float64()),
+        pa.field("h", pa.float64()),
+        pa.field("split", pa.string()),
+    ]
+)
+_W2G_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("word_idx", pa.int64()),
+        pa.field("glyph_idx", pa.int64()),
+        pa.field("class_name", pa.string()),
+        pa.field("class_idx", pa.int64()),
         pa.field("cx", pa.float64()),
         pa.field("cy", pa.float64()),
         pa.field("w", pa.float64()),

@@ -716,3 +716,67 @@ class TestDocClassifier:
             model.predict(t) == l for t, l in rows
         ) / len(rows)
         assert acc >= 0.9, acc
+
+
+class TestWordToGlyphAnnotations:
+    def test_boxes_normalized_to_word_crop(self, ray_session, extracted):
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            word_to_glyph_annotations,
+        )
+
+        out = _to_table(word_to_glyph_annotations(extracted)).to_pandas()
+        assert len(out) > 0
+        assert (out["class_name"] == "glyph").all()
+        assert (out["class_idx"] == 0).all()
+        assert ((out["cx"] >= 0) & (out["cx"] <= 1)).all()
+        assert (out["cy"] == 0.5).all()
+        assert ((out["w"] > 0) & (out["w"] <= 1)).all()
+        assert (out["h"] == 1.0).all()
+        # glyph_idx is dense per (page, word)
+        for _, grp in out.groupby(["conv_id", "turn_idx", "word_idx"]):
+            assert sorted(grp["glyph_idx"]) == list(range(len(grp)))
+
+    def test_fast_equals_structural(self, ray_session, extracted):
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import (
+            _WORD_RUN,
+            _text_line_spans,
+            word_to_glyph_annotations,
+        )
+
+        key = ["conv_id", "turn_idx", "word_idx", "glyph_idx"]
+        structural = (
+            _to_table(word_to_glyph_annotations(extracted))
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        pages = _to_table(
+            extracted.select_columns(["conv_id", "turn_idx", "extracted_text"])
+        ).to_pylist()
+        rows = []
+        for p in pages:
+            text = p["extracted_text"]
+            w_i = 0
+            for ls, le in _text_line_spans(text):
+                for m in _WORD_RUN.finditer(text, ls, le):
+                    ww = m.end() - m.start()
+                    for gi in range(ww):
+                        rows.append(
+                            (p["conv_id"], p["turn_idx"], w_i, gi,
+                             (gi + 0.5) / ww, 1.0 / ww)
+                        )
+                    w_i += 1
+        fast = (
+            pd.DataFrame(rows, columns=key + ["cx", "w"])
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        assert len(fast) == len(structural)
+        for col in ("cx", "w"):
+            assert structural[col].tolist() == pytest.approx(
+                fast[col].tolist()
+            )
