@@ -96,6 +96,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "training_word_examples": _corpus_prep().q_training_word_examples,
         "yolo_annotations": _corpus_prep().q_yolo_annotations,
         "word_to_glyph_annotations": _corpus_prep().q_word_to_glyph_annotations,
+        "rotation_annotations": _corpus_prep().q_rotation_annotations,
         "glyph_eval": _corpus_prep().q_glyph_eval,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
@@ -165,6 +166,7 @@ def oracle_sql() -> dict[str, str]:
         "training_word_examples": _corpus_prep().Q_TRAINING_WORD_EXAMPLES_SQL,
         "yolo_annotations": _corpus_prep().Q_YOLO_ANNOTATIONS_SQL,
         "word_to_glyph_annotations": _corpus_prep().Q_WORD_TO_GLYPH_ANNOTATIONS_SQL,
+        "rotation_annotations": _corpus_prep().Q_ROTATION_ANNOTATIONS_SQL,
         "glyph_eval": _corpus_prep().Q_GLYPH_EVAL_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
         "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,

@@ -45,7 +45,7 @@ import ray
 import ray.data
 
 from ..functions.normalize import simplify, simplify_cached
-from ..ops.relational import _round, _to_table
+from ..ops.relational import _read, _round, _to_table
 from ..ops.transcripts import _DERIVE_SQL, N_CONVS, derive_transcripts
 
 
@@ -828,6 +828,200 @@ SELECT conv_id, CAST(turn_idx AS INT) AS turn_idx,
        CASE WHEN (page_index + 1) % 10 = 0 THEN 'val' ELSE 'train' END AS split
 FROM toks, UNNEST(range(1, LENGTH(tok) + 1)) gs(g)
 """
+
+
+# ------------------------------------------------- RotationAnnotator
+def rotation_annotations(
+    turns: "ray.data.Dataset",
+    *,
+    text_col: str = "text",
+    validation_one_every: int | None = 10,
+    image_size: int = 1280,
+    page_index_fn=None,
+) -> "ray.data.Dataset":
+    """Rotation-model training set — ``RotationAnnotator.scala:18-103``:
+    one row per page with the page's measured rotation as the LABEL
+    (the reference writes it as a ``%.2f`` text file next to the
+    scaled page image). Crucially it runs with ``initialTransforms =
+    Seq.empty`` (``RotationAnnotator.scala:29``): unlike every other
+    annotator (which sees the page AFTER ``RotationTransformer``
+    unrotated it), this one reads the RAW corpus so the label is the
+    still-present rotation — hence it maps over the raw TURNS dataset,
+    not the extraction output. Our rotation analog is the deskewer's
+    indent estimate (``functions/normalize.py::estimate_indent_skew``).
+
+    ``scaled_width``/``scaled_height`` follow the reference's
+    aspect-keeping fit into ``image_size`` (long edge pinned,
+    truncating ints). Streaming map_batches — one pass, no shuffle.
+    The train/val split uses ``page_index_fn(page) -> int`` (the
+    corpus file-enumeration index analog; defaults to the transcript
+    corpus's doc-id arithmetic — a batch-local counter would not be
+    deterministic under repartitioning)."""
+    from ..functions.normalize import estimate_indent_skew
+
+    if page_index_fn is None:
+        def page_index_fn(page: dict) -> int:
+            return page["turn_idx"] * N_CONVS + int(page["conv_id"][4:])
+
+    def annotate(batch: pa.Table) -> pa.Table:
+        rows = {k: [] for k in _ROTATION_SCHEMA.names}
+        idx_fn = page_index_fn
+        for page in batch.to_pylist():
+            text = page[text_col]
+            if not text or not text.strip():
+                continue
+            lines = [ln for ln in text.split("\n")]
+            width = max(len(ln) for ln in lines)
+            height = len(lines)
+            if width == 0:
+                continue
+            rotation = estimate_indent_skew(text)
+            if height > width:
+                sw = int(width / height * image_size)
+                sh = image_size
+            else:
+                sw = image_size
+                sh = int(height / width * image_size)
+            index = idx_fn(page)
+            rows["conv_id"].append(page["conv_id"])
+            rows["turn_idx"].append(page["turn_idx"])
+            rows["rotation"].append(rotation)
+            rows["label"].append(f"{rotation:.2f}")
+            rows["scaled_width"].append(sw)
+            rows["scaled_height"].append(sh)
+            rows["split"].append(_split_for(index, validation_one_every))
+        return pa.Table.from_pydict(rows, schema=_ROTATION_SCHEMA)
+
+    return turns.map_batches(annotate, batch_format="pyarrow")
+
+
+_WORDS_PER_ROTATION_LINE = 8
+
+
+def q_rotation_annotations(sf_dir: str) -> pa.Table:
+    """Driver query for the rotation annotator. The flat document
+    corpus is single-line (rotation identically 0 — a vacuous label),
+    so the query first REFLOWS each document into a deterministic
+    multi-line page with a known synthetic indent pattern (8 words per
+    line, line i indented ``doc_id % 4 + i % 2`` spaces — the
+    alternating inlier shape the deskewer's median±1 rule averages),
+    then runs the REAL kernel on the reflowed text. The SQL oracle
+    recomputes the same construction and replicates the
+    median/inlier-mean estimate with window functions — if the kernel
+    drifts, the hash breaks."""
+    from ..functions.normalize import estimate_indent_skew  # noqa: F401
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def reflow(batch: pa.Table) -> pa.Table:
+        rows = []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if not text or not text.strip():
+                continue
+            words = text.split(" ")
+            base = doc_id % 4
+            lines = []
+            for i in range(0, len(words), _WORDS_PER_ROTATION_LINE):
+                li = i // _WORDS_PER_ROTATION_LINE
+                indent = base + li % 2
+                lines.append(
+                    " " * indent
+                    + " ".join(words[i : i + _WORDS_PER_ROTATION_LINE])
+                )
+            rows.append(
+                {
+                    "conv_id": f"conv{doc_id % N_CONVS:06d}",
+                    "turn_idx": doc_id // N_CONVS,
+                    "text": "\n".join(lines),
+                    "page_index": doc_id,
+                }
+            )
+        return pa.Table.from_pylist(rows, schema=_REFLOW_SCHEMA)
+
+    pages = ds.map_batches(reflow, batch_format="pyarrow")
+    out = rotation_annotations(
+        pages,
+        validation_one_every=10,
+        page_index_fn=lambda p: p["page_index"],
+    )
+    return _round(_to_table(out), {"rotation": 4})
+
+
+Q_ROTATION_ANNOTATIONS_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, text FROM documents WHERE LENGTH(TRIM(text)) > 0
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(text, ' ')) AS tok,
+         generate_subscripts(string_split(text, ' '), 1) AS k
+  FROM docs
+),
+perline AS (
+  SELECT doc_id,
+         (k - 1) // {_WORDS_PER_ROTATION_LINE} AS li,
+         doc_id % 4 + ((k - 1) // {_WORDS_PER_ROTATION_LINE}) % 2 AS ind,
+         SUM(LENGTH(tok)) + COUNT(*) - 1 AS body_len
+  FROM toks
+  GROUP BY doc_id, (k - 1) // {_WORDS_PER_ROTATION_LINE}, doc_id % 4
+),
+ranked AS (
+  SELECT doc_id, ind,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY ind) - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM perline
+),
+med AS (
+  SELECT doc_id, ind AS median FROM ranked WHERE rn = n // 2
+),
+skews AS (
+  SELECT r.doc_id, AVG(CAST(r.ind AS DOUBLE)) AS rotation
+  FROM ranked r JOIN med m ON r.doc_id = m.doc_id
+  WHERE r.ind BETWEEN m.median - 1 AND m.median + 1
+  GROUP BY r.doc_id
+),
+dims AS (
+  SELECT doc_id,
+         MAX(ind + body_len) AS width,
+         COUNT(*) AS height
+  FROM perline GROUP BY doc_id
+)
+SELECT 'conv' || LPAD(CAST(d.doc_id % {N_CONVS} AS VARCHAR), 6, '0') AS conv_id,
+       CAST(d.doc_id // {N_CONVS} AS INT) AS turn_idx,
+       ROUND(s.rotation, 4) AS rotation,
+       printf('%.2f', s.rotation) AS label,
+       CAST(CASE WHEN d.height > d.width
+                 THEN FLOOR(CAST(d.width AS DOUBLE) / d.height * 1280)
+                 ELSE 1280 END AS BIGINT) AS scaled_width,
+       CAST(CASE WHEN d.height > d.width
+                 THEN 1280
+                 ELSE FLOOR(CAST(d.height AS DOUBLE) / d.width * 1280)
+                 END AS BIGINT) AS scaled_height,
+       CASE WHEN (d.doc_id + 1) % 10 = 0 THEN 'val' ELSE 'train' END AS split
+FROM dims d JOIN skews s ON d.doc_id = s.doc_id
+"""
+
+_REFLOW_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("text", pa.string()),
+        pa.field("page_index", pa.int64()),
+    ]
+)
+_ROTATION_SCHEMA = pa.schema(
+    [
+        pa.field("conv_id", pa.string()),
+        pa.field("turn_idx", pa.int64()),
+        pa.field("rotation", pa.float64()),
+        pa.field("label", pa.string()),
+        pa.field("scaled_width", pa.int64()),
+        pa.field("scaled_height", pa.int64()),
+        pa.field("split", pa.string()),
+    ]
+)
 
 
 # ---------------------------------------------------- fast text derivation

@@ -780,3 +780,64 @@ class TestWordToGlyphAnnotations:
             assert structural[col].tolist() == pytest.approx(
                 fast[col].tolist()
             )
+
+
+class TestRotationAnnotations:
+    def test_labels_match_kernel_and_reference_rules(self, ray_session):
+        import ray.data as rd
+
+        from jochre3_ocr_ray.functions.normalize import estimate_indent_skew
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import rotation_annotations
+
+        texts = [
+            "  indented line one\n   line two\n  line three",  # skew ~2.33
+            "flat\nflat again",                                # skew 0
+            "a\nb\nc\nd",                                      # tall page: h>w
+            "   \n  ",                                         # blank -> dropped
+        ]
+        turns = rd.from_items(
+            [
+                {"conv_id": f"conv{i:06d}", "turn_idx": 0, "text": t}
+                for i, t in enumerate(texts)
+            ]
+        )
+        out = (
+            _to_table(rotation_annotations(turns, validation_one_every=2))
+            .to_pandas()
+            .sort_values("conv_id")
+            .reset_index(drop=True)
+        )
+        assert len(out) == 3  # blank page dropped
+        for row in out.itertuples():
+            src = texts[int(row.conv_id[4:])]
+            want = estimate_indent_skew(src)
+            assert row.rotation == pytest.approx(want)
+            assert row.label == f"{want:.2f}"
+        # reference scaling rule: long edge pinned to image_size
+        tall = out[out["conv_id"] == "conv000002"].iloc[0]
+        assert tall["scaled_height"] == 1280
+        assert tall["scaled_width"] == int(1 / 4 * 1280)
+        wide = out[out["conv_id"] == "conv000000"].iloc[0]
+        assert wide["scaled_width"] == 1280
+        # split by enumeration index with validation_one_every=2
+        assert set(out["split"]) == {"train", "val"}
+
+    def test_raw_corpus_not_deskewed(self, ray_session, small_corpus):
+        """The annotator must see the RAW page (initialTransforms
+        empty) — over the markup corpus the emitted rotation equals
+        the kernel on the stored raw text, turn for turn."""
+        import ray.data as rd
+
+        from jochre3_ocr_ray.functions.normalize import estimate_indent_skew
+        from jochre3_ocr_ray.ops.relational import _to_table
+        from jochre3_ocr_ray.pipelines.corpus_prep import rotation_annotations
+
+        turns = rd.read_parquet(str(small_corpus))
+        out = _to_table(rotation_annotations(turns)).to_pandas()
+        raw = turns.select_columns(["conv_id", "turn_idx", "text"]).take_all()
+        by_key = {(r["conv_id"], r["turn_idx"]): r["text"] for r in raw}
+        assert len(out) > 0
+        for row in out.sample(min(50, len(out)), random_state=7).itertuples():
+            src = by_key[(row.conv_id, row.turn_idx)]
+            assert row.rotation == pytest.approx(estimate_indent_skew(src))
