@@ -80,6 +80,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--out-zip", default=None,
                    help="also write the output formats into a zip — "
                         "the API's zipped OutputLocation sink analog")
+    p.add_argument("--words", default=None,
+                   help="lexicon-lookup mode (GET /word-in-lexicon): "
+                        "comma-separated words -> frequency classes "
+                        "(>0 known, 0 unknown, <0 impossible)")
+    p.add_argument("--standardize", default=None,
+                   help="standardize mode (GET /standardize): "
+                        "comma-separated words -> standardized forms")
+    p.add_argument("--dehyphenate", action="store_true",
+                   help="dehyphenate mode (POST /dehyphenate): treat "
+                        "the payload as a text file, print the "
+                        "dehyphenated text")
 
     p = sub.add_parser("prep")
     p.add_argument("input_dir")
@@ -148,12 +159,51 @@ def main(argv: list[str] | None = None) -> int:
 
     if args.cmd == "serve":
         # pure-kernel path: one request, no Ray session (the same
-        # extract_turn the distributed stage applies per batch)
+        # extract_turn the distributed stage applies per batch).
+        # The --words / --standardize / --dehyphenate modes mirror the
+        # reference API's non-analysis endpoints
+        # (api/analysis/AnalysisApp.scala:158-246).
+        if args.words is not None:
+            from .functions.lexicon import Lexicon
+
+            lex = Lexicon.load()
+            words = [w for w in args.words.split(",") if w]
+            print(
+                json.dumps(
+                    {
+                        "frequencies": [
+                            {"word": w, "frequency": lex.get_frequency(w)}
+                            for w in words
+                        ]
+                    },
+                    ensure_ascii=False,
+                )
+            )
+            return 0
+        if args.standardize is not None:
+            from .functions.transliterate import Transliterator
+
+            tr = Transliterator()
+            words = [w for w in args.standardize.split(",") if w]
+            print(
+                json.dumps(
+                    {"standardized": [tr.transliterate(w) for w in words]},
+                    ensure_ascii=False,
+                )
+            )
+            return 0
         payload = (
             sys.stdin.read()
             if args.payload == "-"
             else open(args.payload, encoding="utf-8").read()
         )
+        if args.dehyphenate:
+            from .functions.extract import dehyphenate_text
+            from .functions.lexicon import Lexicon
+
+            # text/plain response parity: raw text, not JSON
+            sys.stdout.write(dehyphenate_text(payload, Lexicon.load()))
+            return 0
         from .functions.extract import extract_turn
         from .functions.lexicon import Lexicon
         from .functions.render_alto import render_alto

@@ -145,6 +145,50 @@ def default_dehyphenation(w1: str, w2: str, lex: Lexicon) -> str:
     return joined  # default: drop the line-break hyphen
 
 
+_DEHYPH_SEP = re.compile(r"[\W_]", re.UNICODE)
+
+
+def dehyphenate_text(text: str, lex: Lexicon, dehyphenator=None) -> str:
+    """Whole-text dehyphenation — the ``/dehyphenate`` endpoint kernel
+    (``YiddishDehyphenator.scala:25-140``): given OCR'd text split on
+    physical line breaks (single ``\\n``) and paragraphs (blank
+    lines), remove the physical breaks (replaced by spaces), mark
+    paragraph ends with a single ``\\n``, and merge trailing-hyphen
+    line pairs. The keep/drop decision delegates to the same pluggable
+    word-level strategy the extraction pipeline uses
+    (``default_dehyphenation``); the word boundaries mirror the
+    reference's punct-or-space scan (last separator before the hyphen
+    / first separator of the next line)."""
+    lines = text.split("\n")
+    if len(lines) <= 1:
+        return text
+    decide = dehyphenator or default_dehyphenation
+    out: list[str] = []
+    for i, line in enumerate(lines):
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        if line.endswith("-"):
+            body = line[:-1]
+            seps = list(_DEHYPH_SEP.finditer(body))
+            last_word = body[seps[-1].end() :] if seps else body
+            m = _DEHYPH_SEP.search(nxt)
+            first_word = nxt[: m.start()] if m else nxt
+            merged = decide(last_word, first_word, lex)
+            keep = merged == f"{last_word}-{first_word}"
+            if not keep:
+                out.append(body)
+            elif not nxt:
+                out.append(line + "\n")
+            else:
+                out.append(line)
+        elif not nxt:
+            out.append(line + "\n")
+        elif not line:
+            out.append(line)
+        else:
+            out.append(line + " ")
+    return "".join(out)
+
+
 def _resolve_hyphenation(
     lines: list[_Line], lex: Lexicon, dehyphenator=None
 ) -> None:

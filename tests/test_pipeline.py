@@ -180,6 +180,68 @@ class TestServeCLI:
             }
             assert zf.read("payload_0.txt").decode() == out["text"]
 
+    def test_lexicon_endpoint(self, capsys):
+        """--words mirrors GET /word-in-lexicon: frequency classes
+        (>0 known, 0 unknown, <0 impossible)."""
+        import json
+
+        from jochre3_ocr_ray.__main__ import main
+
+        assert main(["serve", "--words", "the,zzzzqqq,abc123"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        got = {f["word"]: f["frequency"] for f in out["frequencies"]}
+        assert got["the"] > 0
+        assert got["zzzzqqq"] == 0
+        assert got["abc123"] < 0
+
+    def test_standardize_endpoint(self, capsys):
+        import json
+
+        from jochre3_ocr_ray.__main__ import main
+        from jochre3_ocr_ray.functions.transliterate import Transliterator
+
+        assert main(["serve", "--standardize", "the,cat"]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        tr = Transliterator()
+        assert out["standardized"] == [tr.transliterate("the"),
+                                       tr.transliterate("cat")]
+
+    def test_dehyphenate_endpoint(self, tmp_path, capsys):
+        """--dehyphenate mirrors POST /dehyphenate: line breaks become
+        spaces, paragraph ends a single newline, trailing-hyphen pairs
+        merged by the lexicon rule."""
+        from jochre3_ocr_ray.__main__ import main
+
+        payload = tmp_path / "req.txt"
+        payload.write_text(
+            "known un-\nknown words here\nlast line\n\nnew para"
+        )
+        assert main(["serve", str(payload), "--dehyphenate"]) == 0
+        got = capsys.readouterr().out
+        assert got == "known unknown words here last line\nnew para\n"
+
+
+class TestDehyphenateText:
+    def test_line_and_paragraph_semantics(self):
+        from jochre3_ocr_ray.functions.extract import dehyphenate_text
+        from jochre3_ocr_ray.functions.lexicon import Lexicon
+
+        lex = Lexicon({"alpha", "beta", "alphabeta", "gamma", "delta"})
+        # joined form known -> hyphen dropped, lines merged
+        assert dehyphenate_text("alpha-\nbeta end", lex) == (
+            "alphabeta end\n"
+        )
+        # both parts known, joined unknown -> hyphen kept, no space
+        assert dehyphenate_text("gamma-\ndelta end", lex) == (
+            "gamma-delta end\n"
+        )
+        # single line passes through untouched
+        assert dehyphenate_text("no breaks", lex) == "no breaks"
+        # punct-aware word boundaries: only the final word merges
+        assert dehyphenate_text("x, alpha-\nbeta, y", lex) == (
+            "x, alphabeta, y\n"
+        )
+
 
 class TestResume:
     def test_resume_skips_completed_shards(self, ray_session, small_corpus, tmp_path):
