@@ -38,7 +38,7 @@ def _corpus_prep():
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline (SURVEY.md §2)."""
     from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
-    from jochre3_ocr_ray.ops import similarity, textstats, transcripts
+    from jochre3_ocr_ray.ops import similarity, sketches, textstats, transcripts
 
     return {
         # flagship extraction pipeline (SURVEY §2.2/§2.3/§3)
@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quantiles": relational.q_events_quantiles,
         "events_quantiles_histogram": relational.q_events_quantiles_histogram,
         "events_quantiles_tdigest": relational.q_events_quantiles_tdigest,
+        "events_user_hll": sketches.q_events_user_hll,
+        "heavy_hitter_users": sketches.q_heavy_hitter_users,
         "sample_documents": relational.q_sample_documents,
         "top_orders_per_priority": relational.q_top_orders_per_priority,
         "events_corr": relational.q_events_corr,
@@ -115,7 +117,7 @@ def oracle_sql() -> dict[str, str]:
     deterministic on this corpus and checked against exact SQL ground
     truth (see ops/dedup.py docstring)."""
     from jochre3_ocr_ray.ops import dedup, evaluation, multimodal, relational
-    from jochre3_ocr_ray.ops import similarity, textstats, transcripts
+    from jochre3_ocr_ray.ops import similarity, sketches, textstats, transcripts
 
     return {
         "extract_turns": transcripts.Q_EXTRACT_TURNS_SQL,
@@ -138,6 +140,8 @@ def oracle_sql() -> dict[str, str]:
         "events_quantiles": relational.Q_EVENTS_QUANTILES_SQL,
         "events_quantiles_histogram": relational.Q_EVENTS_QUANTILES_SQL,
         "events_quantiles_tdigest": relational.Q_EVENTS_QUANTILES_TDIGEST_SQL,
+        "events_user_hll": sketches.Q_EVENTS_USER_HLL_SQL,
+        "heavy_hitter_users": sketches.Q_HEAVY_HITTER_USERS_SQL,
         "sample_documents": relational.Q_SAMPLE_DOCUMENTS_SQL,
         "top_orders_per_priority": relational.Q_TOP_ORDERS_PER_PRIORITY_SQL,
         "events_corr": relational.Q_EVENTS_CORR_SQL,

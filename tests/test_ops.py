@@ -1051,3 +1051,69 @@ class TestTDigestQuantiles:
         t = q_events_quantiles_tdigest("/root/testdata/sf0.001").to_pandas()
         assert len(t) == 10  # 5 event types x 2 quantiles
         assert t["within_bound"].all()
+
+
+class TestSketches:
+    def test_hll_accuracy_large_range(self, ray_session):
+        """HLL estimate within the 3-sigma band on a 200k-distinct
+        stream, with the multi-partition register merge in the loop."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.sketches import grouped_distinct_hll
+
+        rng = np.random.RandomState(3)
+        n_distinct = 200_000
+        vals = rng.randint(0, n_distinct, size=400_000)  # ~86% coverage
+        truth = len(np.unique(vals))
+        df = pd.DataFrame({"g": "a", "v": vals})
+        ds = rd.from_pandas(df).repartition(16)
+        est = grouped_distinct_hll(ds, "g", "v")["a"]
+        sigma = 1.04 / np.sqrt(1 << 12)
+        assert abs(est - truth) / truth <= 3 * sigma
+
+    def test_hll_small_range_linear_counting(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.sketches import grouped_distinct_hll
+
+        df = pd.DataFrame({"g": "a", "v": list(range(40)) * 100})
+        ds = rd.from_pandas(df).repartition(8)
+        est = grouped_distinct_hll(ds, "g", "v")["a"]
+        assert abs(est - 40) <= 1  # LinearCounting regime ~exact
+
+    def test_mg_trim_guarantee(self):
+        """Trimming never evicts an item whose count exceeds the
+        decrement budget, and undercounts by at most the cut."""
+        from jochre3_ocr_ray.ops.sketches import _mg_trim
+
+        counts = {i: 1 for i in range(100)}
+        counts[999] = 50
+        out = _mg_trim(counts, 10)
+        assert len(out) <= 10
+        assert out[999] == 50 - 1  # cut was 1
+
+    def test_heavy_hitters_exact_vs_pandas(self, ray_session):
+        """Candidate/verify result equals the exact GROUP BY/HAVING
+        answer on an adversarial zipf stream split across partitions."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.sketches import heavy_hitters
+
+        rng = np.random.RandomState(9)
+        vals = rng.zipf(1.3, size=100_000).astype(np.int64)
+        df = pd.DataFrame({"v": vals})
+        ds = rd.from_pandas(df).repartition(16)
+        got = heavy_hitters(ds, "v", frac=0.01).to_pandas()
+        thr = int(np.ceil(0.01 * len(df)))
+        want = (
+            df["v"].value_counts()
+            .loc[lambda s: s >= thr]
+            .sort_index()
+        )
+        assert got["v"].tolist() == want.index.tolist()
+        assert got["n"].tolist() == want.values.tolist()
