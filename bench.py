@@ -45,6 +45,11 @@ QUERY_NAMES = [
     "chunk_documents",
     "pii_scrub",
     "curate_training_chunks",
+    "events_quantiles_tdigest",
+    "events_user_hll",
+    "heavy_hitter_users",
+    "rotation_annotations",
+    "word_to_glyph_annotations",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design

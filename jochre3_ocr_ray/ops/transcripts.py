@@ -79,7 +79,11 @@ def derive_transcripts(sf_dir: str) -> "ray.data.Dataset":
             }
         )
 
-    return docs.map_batches(to_turns, batch_format="pyarrow", batch_size=65536)
+    # batch_size=None: whole blocks. A row-count batch_size here makes
+    # the fused downstream chain BUNDLE input blocks until it is met —
+    # at test scale 65536 swallowed all 8 read blocks into ONE task and
+    # serialized the entire extraction (measured 1 task vs 8).
+    return docs.map_batches(to_turns, batch_format="pyarrow", batch_size=None)
 
 
 def q_extract_turns(sf_dir: str) -> pa.Table:

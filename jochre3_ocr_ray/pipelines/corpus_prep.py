@@ -766,39 +766,64 @@ def q_word_to_glyph_annotations(sf_dir: str) -> pa.Table:
     contract: combined words are the non-space runs per line, glyphs
     their single characters (equality with the structural operator is
     test-pinned on the markup corpus)."""
+    import numpy as np
+
     extracted = _fast_extraction(sf_dir)
 
     def explode(batch: pa.Table) -> pa.Table:
-        rows = {k: [] for k in _W2G_SCHEMA.names}
+        # vectorized per-char explode: the only per-page Python is the
+        # token regex; glyph indices/boxes come from repeat/arange
+        # arithmetic over the token-length array. Tokens never span
+        # newlines (\\S+), so one page-wide finditer preserves the
+        # line-by-line word order.
+        conv_parts, turn_parts, wi_parts, gi_parts = [], [], [], []
+        cx_parts, w_parts, split_parts = [], [], []
         for conv_id, turn_idx, text in zip(
             batch["conv_id"].to_pylist(),
             batch["turn_idx"].to_pylist(),
             batch["extracted_text"].to_pylist(),
         ):
-            lines = _text_line_spans(text)
-            if not lines:
+            spans = [(m.start(), m.end()) for m in _WORD_RUN.finditer(text)]
+            if not spans:
                 continue
+            ww = np.diff(np.asarray(spans, dtype=np.int64), axis=1).ravel()
+            total = int(ww.sum())
+            gi = np.arange(total) - np.repeat(np.cumsum(ww) - ww, ww)
+            wwr = np.repeat(ww, ww)
             page_index = turn_idx * N_CONVS + int(conv_id[4:])
             split = _split_for(page_index, 10)
-            w_i = 0
-            for ls, le in lines:
-                for m in _WORD_RUN.finditer(text, ls, le):
-                    s, e = m.start(), m.end()
-                    ww = e - s
-                    for gi in range(ww):
-                        rows["conv_id"].append(conv_id)
-                        rows["turn_idx"].append(turn_idx)
-                        rows["word_idx"].append(w_i)
-                        rows["glyph_idx"].append(gi)
-                        rows["class_name"].append("glyph")
-                        rows["class_idx"].append(0)
-                        rows["cx"].append((gi + 0.5) / ww)
-                        rows["cy"].append(0.5)
-                        rows["w"].append(1.0 / ww)
-                        rows["h"].append(1.0)
-                        rows["split"].append(split)
-                    w_i += 1
-        return pa.Table.from_pydict(rows, schema=_W2G_SCHEMA)
+            conv_parts.append(np.full(total, conv_id, dtype=object))
+            turn_parts.append(np.full(total, turn_idx, dtype=np.int64))
+            wi_parts.append(np.repeat(np.arange(len(ww)), ww))
+            gi_parts.append(gi)
+            cx_parts.append((gi + 0.5) / wwr)
+            w_parts.append(1.0 / wwr)
+            split_parts.append(np.full(total, split, dtype=object))
+        if not conv_parts:
+            return pa.Table.from_pydict(
+                {k: [] for k in _W2G_SCHEMA.names}, schema=_W2G_SCHEMA
+            )
+        n = sum(len(p) for p in gi_parts)
+        return pa.Table.from_pydict(
+            {
+                "conv_id": pa.array(
+                    np.concatenate(conv_parts), type=pa.string()
+                ),
+                "turn_idx": pa.array(np.concatenate(turn_parts)),
+                "word_idx": pa.array(np.concatenate(wi_parts)),
+                "glyph_idx": pa.array(np.concatenate(gi_parts)),
+                "class_name": pa.array(["glyph"] * n, type=pa.string()),
+                "class_idx": pa.array(np.zeros(n, dtype=np.int64)),
+                "cx": pa.array(np.concatenate(cx_parts)),
+                "cy": pa.array(np.full(n, 0.5)),
+                "w": pa.array(np.concatenate(w_parts)),
+                "h": pa.array(np.full(n, 1.0)),
+                "split": pa.array(
+                    np.concatenate(split_parts), type=pa.string()
+                ),
+            },
+            schema=_W2G_SCHEMA,
+        )
 
     out = extracted.map_batches(explode, batch_format="pyarrow")
     return _round(_to_table(out), {"cx": 6, "cy": 6, "w": 6, "h": 6})
