@@ -450,7 +450,9 @@ def q_dedup_minhash(
             }
         )
 
-    parts = _exchange(banded.to_arrow_refs(), "band_int", num_parts, verify_tab)
+    parts = _exchange(
+        banded.materialize().to_arrow_refs(), "band_int", num_parts, verify_tab
+    )
     tables = [t for t in _ray.get(parts) if t.num_rows]
     if not tables:
         return pa.table(
@@ -1350,7 +1352,7 @@ def connected_components_distributed(
 
     edge_refs = [
         ray.put(double(t))
-        for t in ray.get(pairs.to_arrow_refs())
+        for t in ray.get(pairs.materialize().to_arrow_refs())
         if t.num_rows
     ]
     if not edge_refs:

@@ -44,10 +44,18 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None):
 
 
 def _to_table(ds) -> pa.Table:
-    """Materialize a (small, final) Dataset as one Arrow table."""
+    """Materialize a (small, final) Dataset as one Arrow table.
+
+    ``materialize()`` first: calling ``to_arrow_refs()`` on a lazy
+    Dataset executes it AND then re-plans a ``limit(1)`` schema probe
+    of the WHOLE pipeline (its ``schema(fetch_if_missing=True)`` call
+    finds no cached schema after the iterator-based execution) —
+    measured as a full second execution of every upstream stage. On
+    the materialized dataset the schema is cached and the conversion
+    is zero-copy O(1)."""
     import ray as _ray
 
-    refs = ds.to_arrow_refs()
+    refs = ds.materialize().to_arrow_refs()
     tables = [t for t in _ray.get(refs) if t.num_rows > 0]
     if not tables:
         return _ray.get(refs[0]) if refs else pa.table({})

@@ -1197,8 +1197,16 @@ def alto_to_text(
     counts = ray.data.from_items(
         [{"path": f} for f in files]
     ).map_batches(convert, batch_format="pyarrow")
-    total = int(sum(t["n"][0].as_py() for t in ray.get(counts.to_arrow_refs())
-                    if t.num_rows))
+    total = int(
+        sum(
+            t["n"][0].as_py()
+            # materialize() first: a bare to_arrow_refs() re-plans a
+            # limit-1 schema probe, which would RE-RUN the per-file
+            # write side effects
+            for t in ray.get(counts.materialize().to_arrow_refs())
+            if t.num_rows
+        )
+    )
     return {"out_dir": str(out_root), "files": total}
 
 

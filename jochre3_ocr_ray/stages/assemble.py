@@ -289,7 +289,7 @@ def assemble_conversations_exchange(
         out = assemble_bucket_table(df)
         return pa.Table.from_pandas(out, preserve_index=False)
 
-    refs = keyed.to_arrow_refs()
+    refs = keyed.materialize().to_arrow_refs()
     # more partitions than input blocks only multiplies split/combine
     # task count (blocks x parts objects) without adding parallelism
     num_parts = max(1, min(num_parts, len(refs)))
