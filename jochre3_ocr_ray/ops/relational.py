@@ -836,7 +836,10 @@ def q_events_asof(sf_dir: str, salted: bool = False,
             tagged_left, tagged_right, bucket_sec, n_parts, combine
         )
     else:
-        refs = tagged_left.to_arrow_refs() + tagged_right.to_arrow_refs()
+        refs = (
+            tagged_left.materialize().to_arrow_refs()
+            + tagged_right.materialize().to_arrow_refs()
+        )
         # cap partitions at the input block count: extra partitions
         # only multiply split/combine task overhead
         parts = _exchange(
@@ -1011,11 +1014,11 @@ def _asof_salted(tagged_left, tagged_right, bucket_sec: int,
         )
 
     carry_parts = _exchange(
-        summaries.to_arrow_refs(), "user_id", n_parts, make_carry
+        summaries.materialize().to_arrow_refs(), "user_id", n_parts, make_carry
     )
     return _exchange(
-        salted_left.to_arrow_refs()
-        + salted_right.to_arrow_refs()
+        salted_left.materialize().to_arrow_refs()
+        + salted_right.materialize().to_arrow_refs()
         + carry_parts,
         "skey",
         n_parts,
