@@ -231,10 +231,16 @@ def run_extraction(
         # FOOTERS (metadata-only, no data re-read): exact by
         # construction even if a replayed batch slipped past the
         # accumulator's dedupe (ADVICE r2)
-        rows = sum(
-            _parquet_file(f).metadata.num_rows
-            for f in sorted(tmp.glob("**/*.parquet"))
-        )
+        # footer reads are tiny independent IO ops; a shard writes
+        # blocks x buckets files, so read them on a thread pool
+        # instead of serially (measured ~1s/shard at 256 files)
+        files = sorted(tmp.glob("**/*.parquet"))
+        with ThreadPoolExecutor(max_workers=16) as fpool:
+            rows = sum(
+                fpool.map(
+                    lambda f: _parquet_file(f).metadata.num_rows, files
+                )
+            )
         ray.kill(acc)
         log.commit_shard(
             shard_id,
