@@ -88,6 +88,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid": textstats.q_langid,
         "pii_scrub": textstats.q_pii_scrub,
         "chunk_documents": textstats.q_chunk_documents,
+        "tfidf_top_terms": textstats.q_tfidf_top_terms,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
@@ -162,6 +163,7 @@ def oracle_sql() -> dict[str, str]:
         "langid": textstats.Q_LANGID_SQL,
         "pii_scrub": textstats.Q_PII_SCRUB_SQL,
         "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
+        "tfidf_top_terms": textstats.Q_TFIDF_TOP_TERMS_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "media_resize": multimodal.Q_MEDIA_RESIZE_SQL,

@@ -50,6 +50,7 @@ QUERY_NAMES = [
     "heavy_hitter_users",
     "rotation_annotations",
     "word_to_glyph_annotations",
+    "tfidf_top_terms",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from .relational import _read, _round
+from .relational import _read, _round, _to_table
 
 
 
@@ -452,3 +452,135 @@ JOIN toks t
 GROUP BY c.doc_id, c.chunk_idx
 """
 
+
+
+# ------------------------------------------------------------- tf-idf
+TFIDF_TOP_K = 3
+_TOKEN_ALPHA = re.compile(r"[a-z]+")
+
+
+def tfidf_scores(
+    ds: "ray.data.Dataset",
+    n_docs: int,
+    *,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Distributed TF-IDF — the corpus-statistics scoring primitive
+    (salience ranking / keyword features for curation).
+
+    Two streaming stages over the SAME tokenization:
+
+    1. per-batch (doc, term, tf) counts — a flat_map-shaped explode,
+       no shuffle;
+    2. document frequency: the per-doc DISTINCT term rows shuffle ONCE
+       on term through ``groupby(term).count()`` (the standard
+       partial-then-shuffle reduction; term cardinality, not corpus
+       size, bounds the exchange), and the resulting df table joins
+       back by BROADCAST (``ray.put``) — right while vocab is
+       sketch-sized; at web-scale vocab swap the broadcast for a hash
+       join on term (the (doc,term,tf) rows already carry the join
+       key).
+
+    Scores: ``tf * ln(n_docs / df)`` (natural log, double — matches
+    DuckDB ``LN`` bit-for-bit)."""
+    import math
+
+    def term_counts(batch: pa.Table) -> pa.Table:
+        rows = {"doc_id": [], "term": [], "tf": []}
+        for doc_id, text in zip(
+            batch[doc_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            counts: dict[str, int] = {}
+            for tok in _TOKEN_ALPHA.findall((text or "").lower()):
+                counts[tok] = counts.get(tok, 0) + 1
+            for term, tf in counts.items():
+                rows["doc_id"].append(doc_id)
+                rows["term"].append(term)
+                rows["tf"].append(tf)
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "term": pa.array(rows["term"], type=pa.string()),
+                "tf": pa.array(rows["tf"], type=pa.int64()),
+            }
+        )
+
+    doc_terms = ds.map_batches(term_counts, batch_format="pyarrow")
+    df_tab = (
+        doc_terms.groupby("term").count().to_pandas()
+    )  # term cardinality rows only
+    df_map = dict(zip(df_tab["term"], df_tab["count()"].astype(int)))
+    df_ref = ray.put(df_map)
+    n = float(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        dfm = ray.get(df_ref)
+        terms = batch["term"].to_pylist()
+        tfs = batch["tf"].to_numpy()
+        dfs = np.array([dfm[t] for t in terms], dtype=np.float64)
+        tfidf = tfs.astype(np.float64) * np.log(n / dfs)
+        return batch.append_column(
+            "df", pa.array(dfs.astype(np.int64))
+        ).append_column("tfidf", pa.array(tfidf))
+
+    return doc_terms.map_batches(score, batch_format="pyarrow")
+
+
+def q_tfidf_top_terms(sf_dir: str, k: int = TFIDF_TOP_K) -> pa.Table:
+    """Top-k salient terms per document by tf-idf (ties broken by term
+    ascending — deterministic against the oracle's window rank)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    n_docs = _doc_count(sf_dir)
+    scored = tfidf_scores(ds, n_docs)
+
+    def topk(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.sort_values(
+            ["doc_id", "tfidf", "term"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        return batch.groupby("doc_id", sort=False).head(k)
+
+    # co-locate each doc's terms, rank within the partition
+    from .relational import partitioned_apply
+
+    out = partitioned_apply(scored, ["doc_id"], topk)
+    t = _to_table(out)
+    return _round(
+        t.select(["doc_id", "term", "tf", "df", "tfidf"]), {"tfidf": 4}
+    )
+
+
+def _doc_count(sf_dir: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+
+
+Q_TFIDF_TOP_TERMS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term
+),
+dfs AS (
+  SELECT term, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY term
+),
+scored AS (
+  SELECT c.doc_id, c.term, c.tf, d.df,
+         c.tf * LN((SELECT COUNT(*) FROM documents) * 1.0 / d.df) AS tfidf
+  FROM counts c JOIN dfs d ON c.term = d.term
+)
+SELECT doc_id, term, tf, df, ROUND(tfidf, 4) AS tfidf
+FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term
+  ) AS rnk FROM scored
+)
+WHERE rnk <= {TFIDF_TOP_K}
+"""

@@ -1117,3 +1117,42 @@ class TestSketches:
         )
         assert got["v"].tolist() == want.index.tolist()
         assert got["n"].tolist() == want.values.tolist()
+
+
+class TestTfidf:
+    def test_scores_match_manual(self, ray_session, tmp_path):
+        import math
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.ops.textstats import q_tfidf_top_terms
+
+        docs = [
+            (0, "apple banana apple"),
+            (1, "banana cherry"),
+            (2, "apple cherry cherry date"),
+            (3, ""),            # empty doc contributes nothing
+            (4, "123 !!"),      # no alpha tokens
+        ]
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array([d[0] for d in docs], pa.int64()),
+                    "text": pa.array([d[1] for d in docs], pa.string()),
+                }
+            ),
+            tmp_path / "documents.parquet",
+        )
+        out = q_tfidf_top_terms(str(tmp_path)).to_pandas()
+        n = 5  # ln(N/df) uses the TABLE row count, empty docs included
+        # doc 0: apple tf=2 df=2, banana tf=1 df=2
+        row = out[(out.doc_id == 0) & (out.term == "apple")].iloc[0]
+        assert row["tf"] == 2 and row["df"] == 2
+        assert row["tfidf"] == pytest.approx(
+            round(2 * math.log(n / 2), 4), abs=1e-9
+        )
+        # docs 3 and 4 yield no rows
+        assert set(out["doc_id"]) == {0, 1, 2}
+        # top-k per doc with term-ascending tiebreak
+        assert (out.groupby("doc_id").size() <= 3).all()
