@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup": dedup.q_embedding_near_dup,
         "embedding_near_dup_lsh": dedup.q_embedding_near_dup_lsh,
         "dedup_clusters": dedup.q_dedup_clusters,
+        "decontaminate": dedup.q_decontaminate,
         # similarity search
         "ann_cosine_topk": similarity.q_ann_cosine_topk,
         "ann_ivf_topk": similarity.q_ann_ivf_topk,
@@ -89,6 +90,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_scrub": textstats.q_pii_scrub,
         "chunk_documents": textstats.q_chunk_documents,
         "tfidf_top_terms": textstats.q_tfidf_top_terms,
+        "pack_sequences": textstats.q_pack_sequences,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
@@ -152,6 +154,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,
         "dedup_simhash": dedup.Q_DEDUP_SIMHASH_SQL,
         "dedup_clusters": dedup.Q_DEDUP_CLUSTERS_SQL,
+        "decontaminate": dedup.Q_DECONTAMINATE_SQL,
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
         "embedding_near_dup_lsh": dedup.Q_EMBEDDING_NEAR_DUP_LSH_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
@@ -164,6 +167,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": textstats.Q_PII_SCRUB_SQL,
         "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
         "tfidf_top_terms": textstats.Q_TFIDF_TOP_TERMS_SQL,
+        "pack_sequences": textstats.Q_PACK_SEQUENCES_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "media_resize": multimodal.Q_MEDIA_RESIZE_SQL,

@@ -51,6 +51,8 @@ QUERY_NAMES = [
     "rotation_annotations",
     "word_to_glyph_annotations",
     "tfidf_top_terms",
+    "decontaminate",
+    "pack_sequences",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design

@@ -1574,3 +1574,137 @@ WITH RECURSIVE {_clusters_ctes(JACCARD_THRESHOLD)}
 SELECT doc_id, cluster_id, (cluster_id = doc_id) AS keep
 FROM clusters ORDER BY doc_id
 """
+
+
+# ------------------------------------------------- decontamination
+# benchmark membership rule for the driver query: every 20th doc is
+# the held-out eval set (deterministic, ~5% of the corpus)
+DECONTAM_BENCH_MOD = 20
+DECONTAM_MIN_HITS = 1
+
+
+def contamination(
+    ds: "ray.data.Dataset",
+    bench_ds: "ray.data.Dataset",
+    *,
+    n: int = 2,
+    min_hits: int = DECONTAM_MIN_HITS,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "ray.data.Dataset":
+    """Train/eval CONTAMINATION detection — the decontamination step of
+    a training-data pipeline: flag training documents sharing word
+    n-grams with a benchmark/eval set (the n-gram-overlap rule used by
+    GPT-3/PaLM-style decontamination).
+
+    Shape: the benchmark side is SMALL by definition (eval sets are
+    thousands of docs, the training corpus is the 100 TB side), so its
+    distinct shingle hashes are collected once (per-batch unique
+    partials, driver union) and broadcast via ``ray.put``; the
+    training corpus then streams through one ``map_batches`` doing a
+    vectorized ``np.intersect1d`` per doc — no shuffle at all. If the
+    benchmark ever outgrows broadcast, swap to the inverted-index
+    exchange ``ngram_exact_pairs`` already uses.
+
+    Returns rows ``(doc_id, n_hits, contaminated)`` — ``n_hits`` =
+    DISTINCT shared shingles, ``contaminated`` = hits >= min_hits."""
+
+    def bench_partial(batch: pa.Table) -> pa.Table:
+        arrs = [
+            _shingle_array(t, n) for t in batch[text_col].to_pylist()
+        ]
+        merged = (
+            np.unique(np.concatenate(arrs))
+            if arrs
+            else np.empty(0, dtype=np.int64)
+        )
+        return pa.table({"sh": pa.array(merged, type=pa.int64())})
+
+    parts = _to_table(
+        bench_ds.map_batches(bench_partial, batch_format="pyarrow")
+    )
+    bench_sh = np.unique(parts["sh"].to_numpy()) if parts.num_rows else (
+        np.empty(0, dtype=np.int64)
+    )
+    bench_ref = ray.put(bench_sh)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        bench = ray.get(bench_ref)
+        ids = batch[id_col].to_pylist()
+        hits = np.empty(len(ids), dtype=np.int64)
+        for i, t in enumerate(batch[text_col].to_pylist()):
+            sh = _shingle_array(t, n)
+            hits[i] = np.intersect1d(sh, bench, assume_unique=True).size
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_hits": pa.array(hits),
+                "contaminated": pa.array(hits >= min_hits),
+            }
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")
+
+
+def q_decontaminate(sf_dir: str) -> pa.Table:
+    """Contamination rows for the non-benchmark corpus against the
+    every-``DECONTAM_BENCH_MOD``-th-doc eval set. Exact oracle: the SQL
+    recomputes the distinct shared-shingle counts from shingle STRINGS
+    (same 61-bit-hash-vs-string equivalence the n-gram dedup oracle
+    relies on)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _split(keep_bench: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy()
+            is_bench = pa.array(ids % DECONTAM_BENCH_MOD == 0)
+            return batch.filter(
+                is_bench if keep_bench else pc.invert(is_bench)
+            )
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    bench = _split(True)
+    scan_side = _split(False)
+    out = _to_table(contamination(scan_side, bench))
+    return out.sort_by("doc_id")
+
+
+Q_DECONTAMINATE_SQL = f"""
+WITH norm AS (
+  SELECT doc_id, {_norm_text_sql()} AS t FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS tok,
+         generate_subscripts(string_split(t, ' '), 1) AS pos
+  FROM norm
+),
+sh AS (
+  SELECT DISTINCT doc_id, tok || ' ' || nxt AS shingle
+  FROM (
+    SELECT doc_id, tok, pos,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  )
+  WHERE nxt IS NOT NULL
+  UNION
+  SELECT doc_id, t AS shingle FROM norm
+  WHERE t <> '' AND NOT contains(t, ' ')
+),
+bench_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % {DECONTAM_BENCH_MOD} = 0
+),
+hits AS (
+  SELECT s.doc_id, COUNT(b.shingle) AS n_hits
+  FROM sh s LEFT JOIN bench_sh b ON s.shingle = b.shingle
+  WHERE s.doc_id % {DECONTAM_BENCH_MOD} <> 0
+  GROUP BY s.doc_id
+)
+SELECT n.doc_id,
+       COALESCE(h.n_hits, 0) AS n_hits,
+       COALESCE(h.n_hits, 0) >= {DECONTAM_MIN_HITS} AS contaminated
+FROM norm n LEFT JOIN hits h ON n.doc_id = h.doc_id
+WHERE n.doc_id % {DECONTAM_BENCH_MOD} <> 0
+ORDER BY n.doc_id
+"""

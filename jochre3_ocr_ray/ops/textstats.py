@@ -584,3 +584,127 @@ FROM (
 )
 WHERE rnk <= {TFIDF_TOP_K}
 """
+
+
+# ------------------------------------------------- sequence packing
+PACK_SEQ_TOKENS = 512
+
+
+def pack_sequences(
+    ds: "ray.data.Dataset",
+    *,
+    budget: int = PACK_SEQ_TOKENS,
+    id_col: str = "doc_id",
+    ntok_col: str = "n_tokens",
+) -> pa.Table:
+    """Training sequence packing (concat-then-split): lay every
+    document's tokens on one global tape in ``id_col`` order and cut
+    it every ``budget`` tokens — the standard packing used to fill
+    fixed-length LM training sequences without padding. Each row gets
+    its ``global_start`` tape position, the ``seq_id`` it begins in
+    and its ``seq_offset`` within that sequence.
+
+    This is a DISTRIBUTED ORDERED PREFIX SCAN: one ``sort`` on the id
+    defines the order (the only exchange); the sorted blocks' token
+    sums come back as O(blocks) scalars; the driver takes the
+    exclusive prefix and re-dispatches one offset per block; each
+    block then computes its rows' global positions with a local
+    cumsum. No stage ever holds more than a block; driver state is
+    O(blocks)."""
+    import ray as _ray
+
+    mat = ds.sort(id_col).materialize()
+    refs = mat.to_arrow_refs()
+
+    @_ray.remote
+    def block_sum(t: pa.Table) -> int:
+        return int(pc.sum(t[ntok_col]).as_py() or 0) if t.num_rows else 0
+
+    sums = _ray.get([block_sum.remote(r) for r in refs])
+    offsets = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
+
+    @_ray.remote
+    def pack_block(t: pa.Table, offset: int) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], type=pa.int64()),
+                    "n_tokens": pa.array([], type=pa.int64()),
+                    "global_start": pa.array([], type=pa.int64()),
+                    "seq_id": pa.array([], type=pa.int64()),
+                    "seq_offset": pa.array([], type=pa.int64()),
+                }
+            )
+        n = t[ntok_col].to_numpy().astype(np.int64)
+        start = offset + np.concatenate(([0], np.cumsum(n)[:-1]))
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_tokens": pa.array(n),
+                "global_start": pa.array(start),
+                "seq_id": pa.array(start // budget),
+                "seq_offset": pa.array(start % budget),
+            }
+        )
+
+    parts = _ray.get(
+        [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    )
+    parts = [t for t in parts if t.num_rows]
+    if not parts:
+        return pa.table(
+            {
+                id_col: pa.array([], type=pa.int64()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "global_start": pa.array([], type=pa.int64()),
+                "seq_id": pa.array([], type=pa.int64()),
+                "seq_offset": pa.array([], type=pa.int64()),
+            }
+        )
+    return pa.concat_tables(parts)
+
+
+def q_pack_sequences(sf_dir: str, budget: int = PACK_SEQ_TOKENS) -> pa.Table:
+    """Pack the document corpus into fixed-``budget`` token sequences
+    (whitespace token counts, doc_id tape order). Exact oracle: the
+    SQL recomputes the exclusive running sum with a window frame."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def with_counts(batch: pa.Table) -> pa.Table:
+        trimmed = pc.utf8_trim_whitespace(batch["text"])
+        ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+        nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+        n_tokens = pc.if_else(
+            nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32())
+        )
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_tokens": pc.cast(n_tokens, pa.int64()),
+            }
+        )
+
+    counted = ds.map_batches(with_counts, batch_format="pyarrow")
+    return pack_sequences(counted, budget=budget)
+
+
+Q_PACK_SEQUENCES_SQL = f"""
+WITH counts AS (
+  SELECT doc_id,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+         END AS n_tokens
+  FROM documents
+),
+tape AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+         ), 0) AS BIGINT) AS global_start
+  FROM counts
+)
+SELECT doc_id, n_tokens, global_start,
+       global_start // {PACK_SEQ_TOKENS} AS seq_id,
+       global_start % {PACK_SEQ_TOKENS} AS seq_offset
+FROM tape ORDER BY doc_id
+"""

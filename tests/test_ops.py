@@ -1156,3 +1156,56 @@ class TestTfidf:
         assert set(out["doc_id"]) == {0, 1, 2}
         # top-k per doc with term-ascending tiebreak
         assert (out.groupby("doc_id").size() <= 3).all()
+
+
+class TestDecontamination:
+    def test_planted_overlap(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import contamination
+
+        bench = rd.from_items(
+            [{"doc_id": 100, "text": "secret eval question about turtles"}]
+        )
+        train = rd.from_items(
+            [
+                {"doc_id": 1, "text": "nothing shared here at all"},
+                {"doc_id": 2, "text": "the secret eval question appears"},
+                {"doc_id": 3, "text": "question about turtles and more"},
+                {"doc_id": 4, "text": ""},
+            ]
+        )
+        out = (
+            contamination(train, bench)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert not out.loc[1, "contaminated"]
+        assert out.loc[2, "contaminated"] and out.loc[2, "n_hits"] == 2
+        assert out.loc[3, "contaminated"] and out.loc[3, "n_hits"] == 2
+        assert not out.loc[4, "contaminated"] and out.loc[4, "n_hits"] == 0
+
+
+class TestPackSequences:
+    def test_tape_positions(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.textstats import pack_sequences
+
+        rng = np.random.RandomState(4)
+        n = rng.randint(0, 40, size=500)
+        df = pd.DataFrame({"doc_id": np.arange(500), "n_tokens": n})
+        # shuffled, multi-partition input: the sort defines the tape
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=1)).repartition(8)
+        out = pack_sequences(ds, budget=64).to_pandas().sort_values("doc_id")
+        want_start = np.concatenate(([0], np.cumsum(n)[:-1]))
+        assert (out["global_start"].to_numpy() == want_start).all()
+        assert (out["seq_id"].to_numpy() == want_start // 64).all()
+        assert (out["seq_offset"].to_numpy() == want_start % 64).all()
+        # tape is gapless: consecutive starts differ by the doc's tokens
+        assert out["n_tokens"].sum() == n.sum()
