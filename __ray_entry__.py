@@ -91,6 +91,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_documents": textstats.q_chunk_documents,
         "tfidf_top_terms": textstats.q_tfidf_top_terms,
         "pack_sequences": textstats.q_pack_sequences,
+        "repetition_stats": textstats.q_repetition_stats,
         # multimodal plumbing
         "media_features": multimodal.q_media_features,
         "media_frames": multimodal.q_media_frames,
@@ -168,6 +169,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
         "tfidf_top_terms": textstats.Q_TFIDF_TOP_TERMS_SQL,
         "pack_sequences": textstats.Q_PACK_SEQUENCES_SQL,
+        "repetition_stats": textstats.Q_REPETITION_STATS_SQL,
         "media_features": multimodal.Q_MEDIA_FEATURES_SQL,
         "media_frames": multimodal.Q_MEDIA_FRAMES_SQL,
         "media_resize": multimodal.Q_MEDIA_RESIZE_SQL,

@@ -708,3 +708,114 @@ SELECT doc_id, n_tokens, global_start,
        global_start % {PACK_SEQ_TOKENS} AS seq_offset
 FROM tape ORDER BY doc_id
 """
+
+
+# ------------------------------------------- repetition quality stats
+# Gopher-style repetition filter thresholds (Rae et al. 2021 use
+# fraction-of-duplicate-ngram rules; the constants here are tuned to
+# be non-vacuous on the synthetic corpus, the RULE SHAPE is the point)
+REP_MIN_DISTINCT_RATIO = 0.55
+REP_MAX_TOP_BIGRAM_FRAC = 0.20
+
+
+def q_repetition_stats(sf_dir: str) -> pa.Table:
+    """Repetition-based quality signals per document — the
+    Gopher-family rules a curation pipeline filters on: the distinct
+    token ratio (low = boilerplate/copy-paste loops) and the fraction
+    of word bigrams taken by the single most frequent bigram (high =
+    template spam). ``flagged`` applies both thresholds. Row-local
+    streaming (one map_batches, no shuffle); docs with zero tokens are
+    skipped on both engines."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        rows = {
+            "doc_id": [],
+            "n_tokens": [],
+            "distinct_token_ratio": [],
+            "top_bigram_frac": [],
+        }
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            toks = (text or "").strip().lower().split()
+            if not toks:
+                continue
+            n = len(toks)
+            distinct_ratio = len(set(toks)) / n
+            if n >= 2:
+                counts: dict[tuple, int] = {}
+                for i in range(n - 1):
+                    bg = (toks[i], toks[i + 1])
+                    counts[bg] = counts.get(bg, 0) + 1
+                top_frac = max(counts.values()) / (n - 1)
+            else:
+                top_frac = 0.0
+            rows["doc_id"].append(doc_id)
+            rows["n_tokens"].append(n)
+            rows["distinct_token_ratio"].append(distinct_ratio)
+            rows["top_bigram_frac"].append(top_frac)
+        flagged = [
+            (d < REP_MIN_DISTINCT_RATIO) or (t > REP_MAX_TOP_BIGRAM_FRAC)
+            for d, t in zip(
+                rows["distinct_token_ratio"], rows["top_bigram_frac"]
+            )
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
+                "n_tokens": pa.array(rows["n_tokens"], type=pa.int64()),
+                "distinct_token_ratio": pa.array(
+                    rows["distinct_token_ratio"], type=pa.float64()
+                ),
+                "top_bigram_frac": pa.array(
+                    rows["top_bigram_frac"], type=pa.float64()
+                ),
+                "flagged": pa.array(flagged, type=pa.bool_()),
+            }
+        )
+
+    out = _to_table(ds.map_batches(stats, batch_format="pyarrow"))
+    return _round(out, {"distinct_token_ratio": 4, "top_bigram_frac": 4})
+
+
+Q_REPETITION_STATS_SQL = f"""
+WITH norm AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(lower(text), '^\\s+|\\s+$', '', 'g'),
+           '\\s+', ' ', 'g') AS t
+  FROM documents
+),
+toks AS (
+  SELECT doc_id,
+         unnest(string_split(t, ' ')) AS tok,
+         generate_subscripts(string_split(t, ' '), 1) AS pos
+  FROM norm WHERE t <> ''
+),
+base AS (
+  SELECT doc_id, COUNT(*) AS n, COUNT(DISTINCT tok) AS n_distinct
+  FROM toks GROUP BY doc_id
+),
+bigrams AS (
+  SELECT doc_id, tok || ' ' || nxt AS bg
+  FROM (
+    SELECT doc_id, tok, pos,
+           LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+    FROM toks
+  ) WHERE nxt IS NOT NULL
+),
+top_bg AS (
+  SELECT doc_id, MAX(c) AS top_c
+  FROM (SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg)
+  GROUP BY doc_id
+)
+SELECT b.doc_id,
+       b.n AS n_tokens,
+       ROUND(b.n_distinct * 1.0 / b.n, 4) AS distinct_token_ratio,
+       ROUND(COALESCE(t.top_c * 1.0 / (b.n - 1), 0.0), 4) AS top_bigram_frac,
+       (b.n_distinct * 1.0 / b.n < {REP_MIN_DISTINCT_RATIO}
+        OR COALESCE(t.top_c * 1.0 / (b.n - 1), 0.0)
+           > {REP_MAX_TOP_BIGRAM_FRAC}) AS flagged
+FROM base b LEFT JOIN top_bg t ON b.doc_id = t.doc_id
+"""
