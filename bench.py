@@ -53,6 +53,7 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "decontaminate",
     "pack_sequences",
+    "repetition_stats",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design
