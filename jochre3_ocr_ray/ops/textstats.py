@@ -617,10 +617,22 @@ def pack_sequences(
     refs = mat.to_arrow_refs()
 
     @_ray.remote
-    def block_sum(t: pa.Table) -> int:
-        return int(pc.sum(t[ntok_col]).as_py() or 0) if t.num_rows else 0
+    def block_sum(t: pa.Table) -> "tuple[int, int]":
+        if t.num_rows == 0:
+            return (1 << 62), 0
+        return (
+            int(pc.min(t[id_col]).as_py()),
+            int(pc.sum(t[ntok_col]).as_py() or 0),
+        )
 
-    sums = _ray.get([block_sum.remote(r) for r in refs])
+    # order blocks by their min id explicitly rather than trusting the
+    # ref list to come back in range order — the prefix sum is only
+    # correct under the sorted block order, so pin it (sorted blocks
+    # have disjoint id ranges, min id is a total order)
+    stats = _ray.get([block_sum.remote(r) for r in refs])
+    order = np.argsort([s[0] for s in stats], kind="stable")
+    refs = [refs[i] for i in order]
+    sums = [stats[i][1] for i in order]
     offsets = np.concatenate(([0], np.cumsum(sums)[:-1])).astype(np.int64)
 
     @_ray.remote
