@@ -1209,3 +1209,100 @@ class TestPackSequences:
         assert (out["seq_offset"].to_numpy() == want_start % 64).all()
         # tape is gapless: consecutive starts differ by the doc's tokens
         assert out["n_tokens"].sum() == n.sum()
+
+
+class TestDegenerateDocsRound4Queries:
+    """The round-4 queries (tfidf, decontaminate, pack, repetition)
+    must align with their oracles on degenerate corpora — empty,
+    whitespace-only, and single-token docs are where explode/join
+    kernels disagree first."""
+
+    def _write_corpus(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        texts = [
+            "",                    # 0: empty
+            "   ",                 # 1: whitespace-only
+            "hello",               # 2: single token
+            "hello hello hello",   # 3: maximal repetition
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa",  # 4
+            "",                    # 5: empty again
+        ]
+        table = pa.table(
+            {"doc_id": pa.array(range(len(texts)), type=pa.int64()),
+             "text": pa.array(texts)}
+        )
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(table, sf / "documents.parquet")
+        return sf
+
+    def _oracle(self, sf, sql):
+        import duckdb
+
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{sf}/documents.parquet')"
+        )
+        return con.execute(sql).df()
+
+    def _assert_aligned(self, got, want, keys):
+        got = got.sort_values(keys).reset_index(drop=True)
+        want = want.sort_values(keys).reset_index(drop=True)
+        assert len(got) == len(want)
+        for col in want.columns:
+            gv, wv = got[col].tolist(), want[col].tolist()
+            if want[col].dtype.kind == "f":
+                assert gv == pytest.approx(wv, abs=1e-9), col
+            else:
+                assert gv == wv, col
+
+    def test_tfidf(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.textstats import (
+            Q_TFIDF_TOP_TERMS_SQL,
+            q_tfidf_top_terms,
+        )
+
+        sf = self._write_corpus(tmp_path)
+        got = q_tfidf_top_terms(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_TFIDF_TOP_TERMS_SQL).drop(columns=[])
+        self._assert_aligned(got, want, ["doc_id", "term"])
+
+    def test_pack_sequences(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.textstats import (
+            Q_PACK_SEQUENCES_SQL,
+            q_pack_sequences,
+        )
+
+        sf = self._write_corpus(tmp_path)
+        got = q_pack_sequences(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_PACK_SEQUENCES_SQL)
+        self._assert_aligned(got, want, ["doc_id"])
+
+    def test_repetition_stats(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.textstats import (
+            Q_REPETITION_STATS_SQL,
+            q_repetition_stats,
+        )
+
+        sf = self._write_corpus(tmp_path)
+        got = q_repetition_stats(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_REPETITION_STATS_SQL)
+        self._assert_aligned(got, want, ["doc_id"])
+        # repetition flags fire where expected
+        got = got.set_index("doc_id")
+        assert bool(got.loc[3, "flagged"])      # hello x3
+        assert not bool(got.loc[4, "flagged"])  # all-distinct
+
+    def test_decontaminate(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import (
+            Q_DECONTAMINATE_SQL,
+            q_decontaminate,
+        )
+
+        sf = self._write_corpus(tmp_path)
+        got = q_decontaminate(str(sf)).to_pandas()
+        want = self._oracle(sf, Q_DECONTAMINATE_SQL)
+        self._assert_aligned(got, want, ["doc_id"])
