@@ -219,6 +219,10 @@ def heavy_hitters(
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         vc = batch[col].value_counts()
         counts = _mg_trim(dict(vc.items()), k)
+        # last row is the batch's ROW-COUNT carrier, marked by
+        # n_rows > 0 — its value/cnt fields are ignored downstream
+        # (summary rows are selected by n_rows == 0, and its cnt of 0
+        # adds nothing even on a value collision)
         return pd.DataFrame(
             {
                 "value": list(counts.keys()) + [-1],
