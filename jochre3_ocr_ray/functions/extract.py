@@ -165,8 +165,16 @@ def dehyphenate_text(text: str, lex: Lexicon, dehyphenator=None) -> str:
     decide = dehyphenator or default_dehyphenation
     out: list[str] = []
     for i, line in enumerate(lines):
-        nxt = lines[i + 1] if i + 1 < len(lines) else ""
-        if line.endswith("-"):
+        is_last = i + 1 >= len(lines)
+        nxt = lines[i + 1] if not is_last else ""
+        if is_last:
+            # Preserve the input's trailing-newline state: an input
+            # ending in '\n' surfaces here as a final "" element (which
+            # appends nothing), and an input without one must not gain
+            # a newline — parity with the reference /dehyphenate
+            # text/plain response.
+            out.append(line)
+        elif line.endswith("-"):
             body = line[:-1]
             seps = list(_DEHYPH_SEP.finditer(body))
             last_word = body[seps[-1].end() :] if seps else body

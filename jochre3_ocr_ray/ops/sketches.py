@@ -91,15 +91,23 @@ def grouped_distinct_hll(
     merge = elementwise register MAX via ``groupby().map_groups``
     (shuffle moves only registers); the driver evaluates the HLL
     estimate with the LinearCounting small-range correction. Driver
-    state is O(groups × 2^p) bytes. String values would need a
-    per-value digest loop — the integer path is the vectorized one."""
+    state is O(groups × 2^p) bytes. Integer values hash via
+    splitmix64; any other dtype (strings, floats) hashes via
+    ``pandas.util.hash_array`` (vectorized cython siphash — no
+    per-value Python loop) finalized by splitmix64."""
     m = 1 << p
+
+    def _hashes(vals: pd.Series) -> np.ndarray:
+        if pd.api.types.is_integer_dtype(vals):
+            return _splitmix64(vals.to_numpy(np.int64))
+        h = pd.util.hash_array(vals.to_numpy(), categorize=False)
+        return _splitmix64(h.astype(np.uint64))
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         rows = {key: [], "regs": []}
         for gkey, g in batch.groupby(key, sort=False):
             regs = np.zeros(m, dtype=np.uint8)
-            _hll_update(regs, _splitmix64(g[value].to_numpy(np.int64)), p)
+            _hll_update(regs, _hashes(g[value]), p)
             rows[key].append(gkey)
             rows["regs"].append(regs.tobytes())
         return pd.DataFrame(rows)
@@ -216,27 +224,38 @@ def heavy_hitters(
     if k is None:
         k = max(16, int(2.0 / frac))
 
+    st = ds.schema()
+    in_type = dict(zip(st.names, st.types))[col]
+    if not isinstance(in_type, pa.DataType):
+        # pandas-backed datasets report object columns as the Python
+        # ``object`` class, not an Arrow type — strings in practice
+        in_type = pa.string()
+
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         vc = batch[col].value_counts()
         counts = _mg_trim(dict(vc.items()), k)
         # last row is the batch's ROW-COUNT carrier, marked by
         # n_rows > 0 — its value/cnt fields are ignored downstream
         # (summary rows are selected by n_rows == 0, and its cnt of 0
-        # adds nothing even on a value collision)
-        return pd.DataFrame(
-            {
-                "value": list(counts.keys()) + [-1],
-                "cnt": list(counts.values()) + [0],
-                "n_rows": [0] * len(counts) + [len(batch)],
-            }
-        )
+        # adds nothing even on a value collision). Its value is an
+        # existing value from the batch so the column keeps its native
+        # dtype for ANY input type (int, string, ...), not an int
+        # sentinel.
+        vals = list(counts.keys())
+        cnts = list(counts.values())
+        nrs = [0] * len(counts)
+        if len(batch):
+            vals.append(batch[col].iloc[0])
+            cnts.append(0)
+            nrs.append(len(batch))
+        return pd.DataFrame({"value": vals, "cnt": cnts, "n_rows": nrs})
 
     parts = _to_table(ds.map_batches(partial, batch_format="pandas")).to_pandas()
     n = int(parts["n_rows"].sum())
     if n == 0:
         return pa.table(
             {
-                col: pa.array([], type=pa.int64()),
+                col: pa.array([], type=in_type),
                 "n": pa.array([], type=pa.int64()),
             }
         )
@@ -263,7 +282,7 @@ def heavy_hitters(
     keep = counted[counted >= threshold].sort_index()
     return pa.table(
         {
-            col: pa.array(keep.index.to_numpy(np.int64), type=pa.int64()),
+            col: pa.array(keep.index.tolist(), type=in_type),
             "n": pa.array(keep.to_numpy(np.int64), type=pa.int64()),
         }
     )

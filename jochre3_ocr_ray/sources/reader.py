@@ -55,8 +55,21 @@ def read_parquet_clean(
     schema = clean_parquet_schema(str(first), columns)
     if "override_num_blocks" not in kwargs:
         plist = paths if isinstance(paths, (list, tuple)) else [paths]
+
+        def _size(p: str) -> int:
+            # a directory's getsize is its inode size (~4 KiB), which
+            # would misclassify a large multi-file dataset dir as
+            # "small" — sum the contained parquet files instead
+            if os.path.isdir(p):
+                return sum(
+                    os.path.getsize(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+            return os.path.getsize(p)
+
         try:
-            total = sum(os.path.getsize(str(p)) for p in plist)
+            total = sum(_size(str(p)) for p in plist)
         except OSError:
             total = None
         if total is not None and total < 256 * 1024 * 1024:

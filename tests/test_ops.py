@@ -366,9 +366,11 @@ class TestHistogramQuantiles:
 class TestNgramMaxDfGuard:
     def test_hot_shingle_dropped_near_dups_kept(self, ray_session, tmp_path):
         """A stop shingle shared by hundreds of docs must not generate
-        O(m^2) candidate pairs under the (default-on) max_df guard,
-        while near-dups sharing RARE shingles are still found; with
-        max_df=None the common-shingle pair reappears (exactness)."""
+        O(m^2) candidate pairs under the max_df guard (opted into by
+        the q_/CLI layer via 'auto'; the library default is
+        max_df=None, i.e. exact), while near-dups sharing RARE
+        shingles are still found; with max_df=None the common-shingle
+        pair reappears (exactness)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         import ray.data as rd
@@ -1117,6 +1119,49 @@ class TestSketches:
         )
         assert got["v"].tolist() == want.index.tolist()
         assert got["n"].tolist() == want.values.tolist()
+
+    def test_heavy_hitters_string_column(self, ray_session):
+        """String-valued columns work end-to-end: the row-count carrier
+        keeps the native dtype (no int sentinel) and the output column
+        is typed string."""
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.sketches import heavy_hitters
+
+        rng = np.random.RandomState(5)
+        vals = [f"u{z}" for z in rng.zipf(1.3, size=50_000)]
+        df = pd.DataFrame({"v": vals})
+        ds = rd.from_pandas(df).repartition(8)
+        got = heavy_hitters(ds, "v", frac=0.01)
+        assert got.schema.field("v").type == pa.string()
+        thr = int(np.ceil(0.01 * len(df)))
+        want = (
+            df["v"].value_counts().loc[lambda s: s >= thr].sort_index()
+        )
+        assert got.to_pandas()["v"].tolist() == want.index.tolist()
+        assert got.to_pandas()["n"].tolist() == want.values.tolist()
+
+    def test_hll_string_values(self, ray_session):
+        """String value columns hash through the vectorized
+        pandas.util.hash_array path — same error bound as integers."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.sketches import grouped_distinct_hll
+
+        rng = np.random.RandomState(7)
+        n_distinct = 50_000
+        vals = [f"user-{z}" for z in rng.randint(0, n_distinct, 150_000)]
+        truth = len(set(vals))
+        df = pd.DataFrame({"g": "a", "v": vals})
+        ds = rd.from_pandas(df).repartition(8)
+        est = grouped_distinct_hll(ds, "g", "v")["a"]
+        sigma = 1.04 / np.sqrt(1 << 12)
+        assert abs(est - truth) / truth <= 3 * sigma
 
 
 class TestTfidf:

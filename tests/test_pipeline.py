@@ -218,7 +218,7 @@ class TestServeCLI:
         )
         assert main(["serve", str(payload), "--dehyphenate"]) == 0
         got = capsys.readouterr().out
-        assert got == "known unknown words here last line\nnew para\n"
+        assert got == "known unknown words here last line\nnew para"
 
 
 class TestDehyphenateText:
@@ -229,18 +229,25 @@ class TestDehyphenateText:
         lex = Lexicon({"alpha", "beta", "alphabeta", "gamma", "delta"})
         # joined form known -> hyphen dropped, lines merged
         assert dehyphenate_text("alpha-\nbeta end", lex) == (
-            "alphabeta end\n"
+            "alphabeta end"
         )
         # both parts known, joined unknown -> hyphen kept, no space
         assert dehyphenate_text("gamma-\ndelta end", lex) == (
-            "gamma-delta end\n"
+            "gamma-delta end"
         )
         # single line passes through untouched
         assert dehyphenate_text("no breaks", lex) == "no breaks"
         # punct-aware word boundaries: only the final word merges
         assert dehyphenate_text("x, alpha-\nbeta, y", lex) == (
-            "x, alphabeta, y\n"
+            "x, alphabeta, y"
         )
+        # trailing-newline state of the input is preserved: one stays
+        # one (not doubled), none stays none
+        assert dehyphenate_text("alpha-\nbeta end\n", lex) == (
+            "alphabeta end\n"
+        )
+        assert dehyphenate_text("a\nb", lex) == "a b"
+        assert dehyphenate_text("a\nb\n", lex) == "a b\n"
 
 
 class TestResume:
