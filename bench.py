@@ -33,17 +33,15 @@ QUERY_NAMES = [
     "order_lineitem_join",
     "events_sliding",
     "ann_cosine_topk",
-    "token_count",
-    "token_count_bpe",
-    "quality_score",
-    "fingerprint",
+    # doc_profile = fused token_count/_bpe + quality_score + fingerprint
+    # + langid + pii_scrub + repetition_stats (one scan)
+    "doc_profile",
     "events_asof",
     "events_quantiles",
-    "customers_semi_bigorder",
+    "customers_semi_anti",
     "training_word_examples",
     "corpus_alphabet",
     "chunk_documents",
-    "pii_scrub",
     "curate_training_chunks",
     "events_quantiles_tdigest",
     "events_user_hll",
@@ -53,7 +51,7 @@ QUERY_NAMES = [
     "tfidf_top_terms",
     "decontaminate",
     "pack_sequences",
-    "repetition_stats",
+    "media_pipeline",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design

@@ -374,3 +374,81 @@ SELECT doc_id AS media_id,
        1.0 / {RESIZE_FACTOR} AS scale
 FROM documents
 """
+
+
+# ---------------------------------------------------- fused media pass
+class MediaPipeline:
+    """Fused decode-once media stage: ONE pass over each payload
+    computes the feature norm, the sampled-frame counts and the resize
+    byte accounting — the production shape (decode a 100-TB media
+    corpus once, run every extraction on the decoded buffer) instead of
+    three separate payload scans. Actor pool: codec/model state would
+    load once here; the sub-kernels are the SAME objects the standalone
+    stages use (``fake_feature``, ``FrameSampler._split_frames``,
+    ``MediaResizer._resize``), so fused and standalone cannot drift.
+
+    Zero-byte payloads explode into zero frames on the standalone path;
+    here they carry n_frames = frame_bytes = 0 (every media row keeps
+    its profile row)."""
+
+    def __init__(self, every_nth: int = 2, factor: int = RESIZE_FACTOR):
+        self._sampler = FrameSampler(every_nth=every_nth)
+        self._resizer = MediaResizer(factor=factor)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        metas = batch["meta"].to_pylist()
+        feat_norm, n_frames, frame_bytes, n_out = [], [], [], []
+        for payload, meta in zip(payloads, metas):
+            feat_norm.append(float(np.linalg.norm(fake_feature(payload))))
+            frames = self._sampler._split_frames(payload, meta["format"])
+            sampled = frames[:: self._sampler.every_nth]
+            n_frames.append(len(sampled))
+            frame_bytes.append(sum(len(f) for f in sampled))
+            n_out.append(len(self._resizer._resize(payload, meta["format"])))
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "n_bytes": pa.array(
+                    [len(p) for p in payloads], type=pa.int64()
+                ),
+                "feat_norm": pa.array(
+                    np.round(np.array(feat_norm, dtype=np.float64), 4)
+                ),
+                "n_frames": pa.array(n_frames, type=pa.int64()),
+                "frame_bytes": pa.array(frame_bytes, type=pa.int64()),
+                "n_bytes_out": pa.array(n_out, type=pa.int64()),
+                "scale": pa.array(
+                    [1.0 / self._resizer.factor] * len(payloads),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
+    """Driver entry consolidating media_features / media_frames /
+    media_resize into the decode-once fused pass (each standalone stage
+    remains exposed + oracle-equivalent; see ``MediaPipeline``)."""
+    media = synthesize_media_dataset(sf_dir)
+    return media.map_batches(
+        MediaPipeline,
+        batch_format="pyarrow",
+        batch_size=256,           # payloads live in the batch
+        concurrency=(1, 4),
+        num_cpus=1,
+    )
+
+
+Q_MEDIA_PIPELINE_SQL = f"""
+WITH f AS ({Q_MEDIA_FEATURES_SQL}),
+fr AS ({Q_MEDIA_FRAMES_SQL}),
+rz AS ({Q_MEDIA_RESIZE_SQL})
+SELECT f.media_id, f.n_bytes, f.feat_norm,
+       COALESCE(fr.n_frames, 0) AS n_frames,
+       COALESCE(fr.frame_bytes, 0) AS frame_bytes,
+       rz.n_bytes_out, rz.scale
+FROM f
+LEFT JOIN fr ON f.media_id = fr.media_id
+JOIN rz ON f.media_id = rz.media_id
+"""

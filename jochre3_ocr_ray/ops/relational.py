@@ -1133,6 +1133,31 @@ WHERE EXISTS (
 """
 
 
+def q_customers_semi_anti(sf_dir: str) -> pa.Table:
+    """Driver entry consolidating the ANTI and SEMI joins: the tagged
+    union of both (kind = 'anti_urgent' | 'semi_bigorder'), each side
+    running the SAME one-shuffle co-partitioned ``_anti_semi`` kernel
+    its standalone query uses."""
+    anti = q_customers_anti_urgent(sf_dir)
+    semi = q_customers_semi_bigorder(sf_dir)
+    anti = anti.append_column(
+        "kind", pa.array(["anti_urgent"] * anti.num_rows, type=pa.string())
+    )
+    semi = semi.append_column(
+        "kind", pa.array(["semi_bigorder"] * semi.num_rows, type=pa.string())
+    )
+    return pa.concat_tables([anti, semi])
+
+
+Q_CUSTOMERS_SEMI_ANTI_SQL = f"""
+SELECT c_custkey, c_name, 'anti_urgent' AS kind
+FROM ({Q_CUSTOMERS_ANTI_URGENT_SQL})
+UNION ALL
+SELECT c_custkey, c_name, 'semi_bigorder' AS kind
+FROM ({Q_CUSTOMERS_SEMI_BIGORDER_SQL})
+"""
+
+
 # --------------------------------------------------------- exact quantiles
 def grouped_quantiles_histogram(
     ds,

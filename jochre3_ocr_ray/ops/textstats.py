@@ -23,22 +23,25 @@ from .relational import _read, _round, _to_table
 
 
 # ------------------------------------------------------------ token count
+def ws_token_count(text: pa.Array) -> pa.Array:
+    """Whitespace token count, vectorized: tokens = whitespace runs + 1,
+    0 for empty strings."""
+    trimmed = pc.utf8_trim_whitespace(text)
+    ws_runs = pc.count_substring_regex(trimmed, r"\s+")
+    nonempty = pc.greater(pc.utf8_length(trimmed), 0)
+    n_tokens = pc.if_else(nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32()))
+    return pc.cast(n_tokens, pa.int64())
+
+
 def q_token_count(sf_dir: str) -> pa.Table:
     """Whitespace token count per document (vectorized)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def count(batch: pa.Table) -> pa.Table:
-        trimmed = pc.utf8_trim_whitespace(batch["text"])
-        # tokens = whitespace runs + 1, 0 for empty strings
-        ws_runs = pc.count_substring_regex(trimmed, r"\s+")
-        nonempty = pc.greater(pc.utf8_length(trimmed), 0)
-        n_tokens = pc.if_else(
-            nonempty, pc.add(ws_runs, 1), pa.scalar(0, pa.int32())
-        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_tokens": pc.cast(n_tokens, pa.int64()),
+                "n_tokens": ws_token_count(batch["text"]),
             }
         )
 
@@ -55,27 +58,29 @@ FROM documents
 
 
 # --------------------------------------------------------- quality score
+def quality_columns(text: pa.Array) -> dict[str, pa.Array]:
+    """Char-class ratio columns (length / alpha / digit / space),
+    unrounded — callers round for oracle comparison."""
+    n = pc.cast(pc.utf8_length(text), pa.float64())
+    safe_n = pc.max_element_wise(n, pa.scalar(1.0))
+    alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
+    digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.float64())
+    space = pc.cast(pc.count_substring_regex(text, " "), pa.float64())
+    return {
+        "n_chars_seen": pc.cast(n, pa.int64()),
+        "alpha_ratio": pc.divide(alpha, safe_n),
+        "digit_ratio": pc.divide(digit, safe_n),
+        "space_ratio": pc.divide(space, safe_n),
+    }
+
+
 def q_quality_score(sf_dir: str) -> pa.Table:
     """Char-class ratios (length / alpha / digit / space) per document —
     the quality-heuristic family (length/punct/stopword ratios)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def score(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        n = pc.cast(pc.utf8_length(text), pa.float64())
-        safe_n = pc.max_element_wise(n, pa.scalar(1.0))
-        alpha = pc.cast(pc.count_substring_regex(text, "[A-Za-z]"), pa.float64())
-        digit = pc.cast(pc.count_substring_regex(text, "[0-9]"), pa.float64())
-        space = pc.cast(pc.count_substring_regex(text, " "), pa.float64())
-        out = pa.table(
-            {
-                "doc_id": batch["doc_id"],
-                "n_chars_seen": pc.cast(n, pa.int64()),
-                "alpha_ratio": pc.divide(alpha, safe_n),
-                "digit_ratio": pc.divide(digit, safe_n),
-                "space_ratio": pc.divide(space, safe_n),
-            }
-        )
+        out = pa.table({"doc_id": batch["doc_id"], **quality_columns(batch["text"])})
         return _round(out, {"alpha_ratio": 4, "digit_ratio": 4, "space_ratio": 4})
 
     return ds.map_batches(score, batch_format="pyarrow", batch_size=65536)
@@ -95,25 +100,28 @@ FROM documents
 
 
 # ---------------------------------------------------------- fingerprint
+def fingerprint_column(text: pa.Array) -> pa.Array:
+    """md5 of the whitespace-normalized, lowercased text. Normalization
+    (trim / ws-collapse / lower) runs in Arrow's C kernels; the residual
+    per-row Python is only the C md5 call."""
+    norm = pc.utf8_lower(
+        pc.replace_substring_regex(pc.utf8_trim_whitespace(text), r"\s+", " ")
+    )
+    md5 = hashlib.md5
+    digests = [md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
+    return pa.array(digests, type=pa.string())
+
+
 def q_fingerprint(sf_dir: str) -> pa.Table:
     """Deterministic content fingerprint: md5 of the whitespace-
     normalized, lowercased text (exact-dedup key / provenance id)."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def fp(batch: pa.Table) -> pa.Table:
-        # normalization (trim / ws-collapse / lower) runs in Arrow's C
-        # kernels; the residual per-row Python is only the C md5 call
-        norm = pc.utf8_lower(
-            pc.replace_substring_regex(
-                pc.utf8_trim_whitespace(batch["text"]), r"\s+", " "
-            )
-        )
-        md5 = hashlib.md5
-        digests = [md5(t.encode("utf-8")).hexdigest() for t in norm.to_pylist()]
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "fingerprint": pa.array(digests, type=pa.string()),
+                "fingerprint": fingerprint_column(batch["text"]),
             }
         )
 
@@ -236,6 +244,11 @@ Q_LANGID_SQL = _langid_sql()
 BPE_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+"
 
 
+def bpe_token_count(text: pa.Array) -> pa.Array:
+    """BPE-ish pretokenizer token count, vectorized RE2 match counting."""
+    return pc.cast(pc.count_substring_regex(text, BPE_PATTERN), pa.int64())
+
+
 def q_token_count_bpe(sf_dir: str) -> pa.Table:
     """BPE-ish pretokenizer token count per document (the LLM-cost
     estimator the build brief calls for alongside whitespace counts):
@@ -246,10 +259,7 @@ def q_token_count_bpe(sf_dir: str) -> pa.Table:
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "n_bpe_tokens": pc.cast(
-                    pc.count_substring_regex(batch["text"], BPE_PATTERN),
-                    pa.int64(),
-                ),
+                "n_bpe_tokens": bpe_token_count(batch["text"]),
             }
         )
 
@@ -317,6 +327,18 @@ PII_PATTERNS = (
 )
 
 
+def pii_scrub_columns(text: pa.Array) -> dict[str, pa.Array]:
+    """Scrubbed text + per-pattern match counts, vectorized RE2."""
+    counts = {}
+    for name, pattern in PII_PATTERNS:
+        counts[name] = pc.cast(pc.count_substring_regex(text, pattern), pa.int64())
+        text = pc.replace_substring_regex(text, pattern, f"<{name.upper()}>")
+    cols: dict[str, pa.Array] = {"scrubbed_text": text}
+    for name, _ in PII_PATTERNS:
+        cols[f"n_{name}"] = counts[name]
+    return cols
+
+
 def q_pii_scrub(sf_dir: str) -> pa.Table:
     """PII redaction over the documents table — a first-class
     training-data-pipeline stage: emails/phones/SSNs replaced by
@@ -327,20 +349,9 @@ def q_pii_scrub(sf_dir: str) -> pa.Table:
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def scrub(batch: pa.Table) -> pa.Table:
-        text = batch["text"]
-        cols = {"doc_id": batch["doc_id"]}
-        counts = {}
-        for name, pattern in PII_PATTERNS:
-            counts[name] = pc.cast(
-                pc.count_substring_regex(text, pattern), pa.int64()
-            )
-            text = pc.replace_substring_regex(
-                text, pattern, f"<{name.upper()}>"
-            )
-        cols["scrubbed_text"] = text
-        for name, _ in PII_PATTERNS:
-            cols[f"n_{name}"] = counts[name]
-        return pa.table(cols)
+        return pa.table(
+            {"doc_id": batch["doc_id"], **pii_scrub_columns(batch["text"])}
+        )
 
     return ds.map_batches(scrub, batch_format="pyarrow", batch_size=65536)
 
@@ -730,6 +741,31 @@ REP_MIN_DISTINCT_RATIO = 0.55
 REP_MAX_TOP_BIGRAM_FRAC = 0.20
 
 
+def repetition_values(text: str) -> tuple[int, float, float] | None:
+    """(n_tokens, distinct_token_ratio, top_bigram_frac) for one doc, or
+    ``None`` for zero-token docs (skipped on both engines)."""
+    toks = (text or "").strip().lower().split()
+    if not toks:
+        return None
+    n = len(toks)
+    distinct_ratio = len(set(toks)) / n
+    if n >= 2:
+        counts: dict[tuple, int] = {}
+        for i in range(n - 1):
+            bg = (toks[i], toks[i + 1])
+            counts[bg] = counts.get(bg, 0) + 1
+        top_frac = max(counts.values()) / (n - 1)
+    else:
+        top_frac = 0.0
+    return n, distinct_ratio, top_frac
+
+
+def repetition_flag(distinct_ratio: float, top_frac: float) -> bool:
+    return (distinct_ratio < REP_MIN_DISTINCT_RATIO) or (
+        top_frac > REP_MAX_TOP_BIGRAM_FRAC
+    )
+
+
 def q_repetition_stats(sf_dir: str) -> pa.Table:
     """Repetition-based quality signals per document — the
     Gopher-family rules a curation pipeline filters on: the distinct
@@ -750,25 +786,16 @@ def q_repetition_stats(sf_dir: str) -> pa.Table:
         for doc_id, text in zip(
             batch["doc_id"].to_pylist(), batch["text"].to_pylist()
         ):
-            toks = (text or "").strip().lower().split()
-            if not toks:
+            vals = repetition_values(text)
+            if vals is None:
                 continue
-            n = len(toks)
-            distinct_ratio = len(set(toks)) / n
-            if n >= 2:
-                counts: dict[tuple, int] = {}
-                for i in range(n - 1):
-                    bg = (toks[i], toks[i + 1])
-                    counts[bg] = counts.get(bg, 0) + 1
-                top_frac = max(counts.values()) / (n - 1)
-            else:
-                top_frac = 0.0
+            n, distinct_ratio, top_frac = vals
             rows["doc_id"].append(doc_id)
             rows["n_tokens"].append(n)
             rows["distinct_token_ratio"].append(distinct_ratio)
             rows["top_bigram_frac"].append(top_frac)
         flagged = [
-            (d < REP_MIN_DISTINCT_RATIO) or (t > REP_MAX_TOP_BIGRAM_FRAC)
+            repetition_flag(d, t)
             for d, t in zip(
                 rows["distinct_token_ratio"], rows["top_bigram_frac"]
             )
@@ -830,4 +857,99 @@ SELECT b.doc_id,
         OR COALESCE(t.top_c * 1.0 / (b.n - 1), 0.0)
            > {REP_MAX_TOP_BIGRAM_FRAC}) AS flagged
 FROM base b LEFT JOIN top_bg t ON b.doc_id = t.doc_id
+"""
+
+
+# ------------------------------------------------------ fused profile
+class DocProfile:
+    """Fused single-pass text-profile stage: ONE scan of the documents
+    table computes token counts (whitespace + BPE-ish), quality ratios,
+    content fingerprint, language ID, PII scrub and repetition stats.
+
+    At 100 TB this replaces seven separate scans (seven reads of the
+    same text column off storage) with one streaming pass — the
+    curation-profile shape every LLM data pipeline runs first. Actor
+    pool so the language-ID marker tables / compiled regexes build once
+    per actor (``__init__``), not per batch. Zero-token docs carry NULL
+    repetition columns (the standalone ``q_repetition_stats`` drops
+    those rows; here every doc keeps its profile row).
+
+    Each sub-kernel is the SAME module-level function its standalone
+    ``q_`` twin calls (``ws_token_count`` / ``bpe_token_count`` /
+    ``quality_columns`` / ``fingerprint_column`` / ``pii_scrub_columns``
+    / ``repetition_values`` / ``LangId``), so the fused profile and the
+    individual operators cannot drift apart."""
+
+    def __init__(self):
+        self._langid = LangId()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        cols: dict[str, pa.Array] = {"doc_id": batch["doc_id"]}
+        cols["n_tokens"] = ws_token_count(text)
+        cols["n_bpe_tokens"] = bpe_token_count(text)
+        cols.update(quality_columns(text))
+        cols["fingerprint"] = fingerprint_column(text)
+        texts = text.to_pylist()
+        cols["predicted_lang"] = pa.array(
+            [self._langid.predict_one(t) for t in texts], type=pa.string()
+        )
+        cols.update(pii_scrub_columns(text))
+        reps = [repetition_values(t) for t in texts]
+        cols["distinct_token_ratio"] = pa.array(
+            [r[1] if r else None for r in reps], type=pa.float64()
+        )
+        cols["top_bigram_frac"] = pa.array(
+            [r[2] if r else None for r in reps], type=pa.float64()
+        )
+        cols["rep_flagged"] = pa.array(
+            [repetition_flag(r[1], r[2]) if r else None for r in reps],
+            type=pa.bool_(),
+        )
+        out = pa.table(cols)
+        return _round(
+            out,
+            {
+                "alpha_ratio": 4,
+                "digit_ratio": 4,
+                "space_ratio": 4,
+                "distinct_token_ratio": 4,
+                "top_bigram_frac": 4,
+            },
+        )
+
+
+def q_doc_profile(sf_dir: str) -> "ray.data.Dataset":
+    """One-pass document profile (driver entry consolidating the
+    token_count / token_count_bpe / quality_score / fingerprint /
+    langid / pii_scrub / repetition_stats operators — each still
+    individually exposed + pytest-pinned; this single scan is their
+    composed production shape)."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        DocProfile, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    )
+
+
+Q_DOC_PROFILE_SQL = f"""
+WITH tc AS ({Q_TOKEN_COUNT_SQL}),
+bpe AS ({Q_TOKEN_COUNT_BPE_SQL}),
+q AS ({Q_QUALITY_SCORE_SQL}),
+fp AS ({Q_FINGERPRINT_SQL}),
+lid AS ({Q_LANGID_SQL}),
+pii AS ({Q_PII_SCRUB_SQL}),
+rep AS ({Q_REPETITION_STATS_SQL})
+SELECT tc.doc_id, tc.n_tokens, bpe.n_bpe_tokens,
+       q.n_chars_seen, q.alpha_ratio, q.digit_ratio, q.space_ratio,
+       fp.fingerprint, lid.predicted_lang,
+       pii.scrubbed_text, pii.n_email, pii.n_phone, pii.n_ssn,
+       rep.distinct_token_ratio, rep.top_bigram_frac,
+       rep.flagged AS rep_flagged
+FROM tc
+JOIN bpe USING (doc_id)
+JOIN q USING (doc_id)
+JOIN fp USING (doc_id)
+JOIN lid USING (doc_id)
+JOIN pii USING (doc_id)
+LEFT JOIN rep USING (doc_id)
 """

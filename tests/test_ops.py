@@ -1164,6 +1164,107 @@ class TestSketches:
         assert abs(est - truth) / truth <= 3 * sigma
 
 
+class TestFusedConsolidations:
+    """The consolidated driver entries (doc_profile / media_pipeline /
+    customers_semi_anti) must equal their standalone operators exactly —
+    the fused entry is oracle-pinned by the driver, so equality here
+    keeps every standalone op transitively oracle-checked."""
+
+    SF = "/root/testdata/sf0.001"
+
+    @staticmethod
+    def _pdf(obj):
+        import pyarrow as pa
+
+        from jochre3_ocr_ray.ops.relational import _to_table
+
+        if not isinstance(obj, pa.Table):
+            obj = _to_table(obj)
+        return obj.to_pandas()
+
+    def test_doc_profile_matches_standalone_ops(self, ray_session):
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops import textstats as ts
+
+        prof = self._pdf(ts.q_doc_profile(self.SF)).sort_values("doc_id")
+        pairs = [
+            (ts.q_token_count, ["n_tokens"]),
+            (ts.q_token_count_bpe, ["n_bpe_tokens"]),
+            (
+                ts.q_quality_score,
+                ["n_chars_seen", "alpha_ratio", "digit_ratio", "space_ratio"],
+            ),
+            (ts.q_fingerprint, ["fingerprint"]),
+            (ts.q_langid, ["predicted_lang"]),
+            (
+                ts.q_pii_scrub,
+                ["scrubbed_text", "n_email", "n_phone", "n_ssn"],
+            ),
+        ]
+        for q, cols in pairs:
+            solo = self._pdf(q(self.SF)).sort_values("doc_id")
+            pd.testing.assert_frame_equal(
+                prof[["doc_id"] + cols].reset_index(drop=True),
+                solo[["doc_id"] + cols].reset_index(drop=True),
+                check_dtype=False,
+            )
+        # repetition: standalone drops zero-token docs; fused carries
+        # NULLs for them
+        rep = self._pdf(ts.q_repetition_stats(self.SF)).sort_values("doc_id")
+        sub = prof[prof["distinct_token_ratio"].notna()]
+        pd.testing.assert_frame_equal(
+            sub[["doc_id", "distinct_token_ratio", "top_bigram_frac"]]
+            .reset_index(drop=True),
+            rep[["doc_id", "distinct_token_ratio", "top_bigram_frac"]]
+            .reset_index(drop=True),
+            check_dtype=False,
+        )
+        assert (
+            sub["rep_flagged"].astype(bool).tolist()
+            == rep["flagged"].astype(bool).tolist()
+        )
+
+    def test_media_pipeline_matches_standalone_stages(self, ray_session):
+        import pandas as pd
+
+        from jochre3_ocr_ray.ops import multimodal as mm
+
+        fused = self._pdf(mm.q_media_pipeline(self.SF)).sort_values("media_id")
+        feats = self._pdf(mm.q_media_features(self.SF)).sort_values("media_id")
+        pd.testing.assert_frame_equal(
+            fused[["media_id", "n_bytes", "feat_norm"]].reset_index(drop=True),
+            feats.reset_index(drop=True),
+            check_dtype=False,
+        )
+        frames = self._pdf(mm.q_media_frames(self.SF)).sort_values("media_id")
+        sub = fused[fused["n_frames"] > 0]
+        pd.testing.assert_frame_equal(
+            sub[["media_id", "n_frames", "frame_bytes"]].reset_index(drop=True),
+            frames.reset_index(drop=True),
+            check_dtype=False,
+        )
+        resize = self._pdf(mm.q_media_resize(self.SF)).sort_values("media_id")
+        pd.testing.assert_frame_equal(
+            fused[["media_id", "n_bytes", "n_bytes_out", "scale"]]
+            .rename(columns={"n_bytes": "n_bytes_in"})
+            .reset_index(drop=True),
+            resize.reset_index(drop=True),
+            check_dtype=False,
+        )
+
+    def test_customers_semi_anti_matches_standalone(self, ray_session):
+        from jochre3_ocr_ray.ops import relational as rel
+
+        fused = rel.q_customers_semi_anti(self.SF).to_pandas()
+        anti = rel.q_customers_anti_urgent(self.SF).to_pandas()
+        semi = rel.q_customers_semi_bigorder(self.SF).to_pandas()
+        got_anti = fused[fused["kind"] == "anti_urgent"]
+        got_semi = fused[fused["kind"] == "semi_bigorder"]
+        assert sorted(got_anti["c_custkey"]) == sorted(anti["c_custkey"])
+        assert sorted(got_semi["c_custkey"]) == sorted(semi["c_custkey"])
+
+
 class TestTfidf:
     def test_scores_match_manual(self, ray_session, tmp_path):
         import math
