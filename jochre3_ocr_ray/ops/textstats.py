@@ -467,7 +467,36 @@ GROUP BY c.doc_id, c.chunk_idx
 
 # ------------------------------------------------------------- tf-idf
 TFIDF_TOP_K = 3
-_TOKEN_ALPHA = re.compile(r"[a-z]+")
+
+
+def term_count_batch(
+    batch: pa.Table, doc_col: str = "doc_id", text_col: str = "text"
+) -> pa.Table:
+    """Vectorized (doc, term, tf) explode for one batch: lower / strip /
+    split run in Arrow's C string kernels (non-[a-z] runs collapse to a
+    single space, so the split tokens ARE the ``[a-z]+`` runs), the
+    explode is ``list_flatten`` + ``list_parent_indices``, and the
+    per-doc counting is Arrow's hash group-by. No per-row Python."""
+    lower = pc.utf8_lower(batch[text_col])
+    norm = pc.utf8_trim_whitespace(
+        pc.replace_substring_regex(lower, "[^a-z]+", " ")
+    )
+    lists = pc.split_pattern(norm, " ")
+    flat = pa.table(
+        {
+            "doc_id": pc.take(batch[doc_col], pc.list_parent_indices(lists)),
+            "term": pc.list_flatten(lists),
+        }
+    )
+    flat = flat.filter(pc.not_equal(flat["term"], ""))  # empty docs
+    counted = flat.group_by(["doc_id", "term"]).aggregate([([], "count_all")])
+    return pa.table(
+        {
+            "doc_id": pc.cast(counted["doc_id"], pa.int64()),
+            "term": counted["term"],
+            "tf": pc.cast(counted["count_all"], pa.int64()),
+        }
+    )
 
 
 def tfidf_scores(
@@ -476,61 +505,93 @@ def tfidf_scores(
     *,
     doc_col: str = "doc_id",
     text_col: str = "text",
+    mode: str = "auto",
 ) -> "ray.data.Dataset":
     """Distributed TF-IDF — the corpus-statistics scoring primitive
     (salience ranking / keyword features for curation).
 
-    Two streaming stages over the SAME tokenization:
-
-    1. per-batch (doc, term, tf) counts — a flat_map-shaped explode,
-       no shuffle;
-    2. document frequency: the per-doc DISTINCT term rows shuffle ONCE
-       on term through ``groupby(term).count()`` (the standard
-       partial-then-shuffle reduction; term cardinality, not corpus
-       size, bounds the exchange), and the resulting df table joins
-       back by BROADCAST (``ray.put``) — right while vocab is
-       sketch-sized; at web-scale vocab swap the broadcast for a hash
-       join on term (the (doc,term,tf) rows already carry the join
-       key).
+    1. per-batch (doc, term, tf) counts — a fully vectorized
+       flat_map-shaped explode (``term_count_batch``), no shuffle —
+       MATERIALIZED once so the df reduction and the score stage both
+       read the cached blocks instead of re-tokenizing the corpus;
+    2. document frequency: per-batch partial term counts (the combiner)
+       then one vocab-bounded reduction;
+    3. join-back of df, SIZE-GATED like the dim joins
+       (``DIM_BROADCAST_MAX_BYTES``, ops/relational.py): ``mode="auto"``
+       broadcasts the df table via ``ray.put`` while it fits and falls
+       back to a hash-partitioned ``Dataset.join`` on term past the
+       gate; ``mode="broadcast"`` / ``mode="join"`` force a path (the
+       two are equality-pinned in tests/test_ops.py). At web-scale
+       vocab pass ``mode="join"`` — it never collects the vocabulary
+       to the driver.
 
     Scores: ``tf * ln(n_docs / df)`` (natural log, double — matches
     DuckDB ``LN`` bit-for-bit)."""
-    import math
+    import pandas as pd
 
-    def term_counts(batch: pa.Table) -> pa.Table:
-        rows = {"doc_id": [], "term": [], "tf": []}
-        for doc_id, text in zip(
-            batch[doc_col].to_pylist(), batch[text_col].to_pylist()
-        ):
-            counts: dict[str, int] = {}
-            for tok in _TOKEN_ALPHA.findall((text or "").lower()):
-                counts[tok] = counts.get(tok, 0) + 1
-            for term, tf in counts.items():
-                rows["doc_id"].append(doc_id)
-                rows["term"].append(term)
-                rows["tf"].append(tf)
-        return pa.table(
-            {
-                "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "term": pa.array(rows["term"], type=pa.string()),
-                "tf": pa.array(rows["tf"], type=pa.int64()),
-            }
-        )
+    from .relational import (
+        DIM_BROADCAST_MAX_BYTES,
+        _to_table,
+        join_partitions,
+    )
 
-    doc_terms = ds.map_batches(term_counts, batch_format="pyarrow")
-    df_tab = (
-        doc_terms.groupby("term").count().to_pandas()
-    )  # term cardinality rows only
-    df_map = dict(zip(df_tab["term"], df_tab["count()"].astype(int)))
-    df_ref = ray.put(df_map)
+    if mode not in ("auto", "broadcast", "join"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    doc_terms = ds.map_batches(
+        lambda b: term_count_batch(b, doc_col, text_col),
+        batch_format="pyarrow",
+    ).materialize()
     n = float(n_docs)
 
+    def df_partial(batch: pa.Table) -> pa.Table:
+        part = batch.group_by("term").aggregate([([], "count_all")])
+        return pa.table(
+            {"term": part["term"], "df": pc.cast(part["count_all"], pa.int64())}
+        )
+
+    df_partials = doc_terms.map_batches(df_partial, batch_format="pyarrow")
+
+    if mode == "join":
+        df_ds = df_partials.groupby("term").sum("df").rename_columns(
+            {"sum(df)": "df"}
+        )
+        joined = doc_terms.join(
+            df_ds,
+            join_type="inner",
+            num_partitions=join_partitions(doc_terms.size_bytes() or 0),
+            on=("term",),
+        )
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            dfs = batch["df"].to_numpy().astype(np.float64)
+            tfidf = batch["tf"].to_numpy().astype(np.float64) * np.log(n / dfs)
+            return batch.select(["doc_id", "term", "tf", "df"]).append_column(
+                "tfidf", pa.array(tfidf)
+            )
+
+        return joined.map_batches(score_joined, batch_format="pyarrow")
+
+    # broadcast / auto: combine the partials into one vocab-sized table
+    df_tab = (
+        _to_table(df_partials).group_by("term").aggregate([("df", "sum")])
+    )
+    if mode == "auto" and df_tab.nbytes > DIM_BROADCAST_MAX_BYTES:
+        return tfidf_scores(
+            ds, n_docs, doc_col=doc_col, text_col=text_col, mode="join"
+        )
+    df_series = pd.Series(
+        df_tab["df_sum"].to_numpy().astype(np.int64),
+        index=df_tab["term"].to_pandas(),
+    )
+    df_ref = ray.put(df_series)
+
     def score(batch: pa.Table) -> pa.Table:
-        dfm = ray.get(df_ref)
-        terms = batch["term"].to_pylist()
-        tfs = batch["tf"].to_numpy()
-        dfs = np.array([dfm[t] for t in terms], dtype=np.float64)
-        tfidf = tfs.astype(np.float64) * np.log(n / dfs)
+        dfm = ray.get(df_ref)  # hashtable lookup, vectorized in cython
+        dfs = (
+            batch["term"].to_pandas().map(dfm).to_numpy().astype(np.float64)
+        )
+        tfidf = batch["tf"].to_numpy().astype(np.float64) * np.log(n / dfs)
         return batch.append_column(
             "df", pa.array(dfs.astype(np.int64))
         ).append_column("tfidf", pa.array(tfidf))

@@ -1303,6 +1303,36 @@ class TestTfidf:
         # top-k per doc with term-ascending tiebreak
         assert (out.groupby("doc_id").size() <= 3).all()
 
+    def test_broadcast_and_join_modes_equal(self, ray_session):
+        """The size-gated df join-back: the broadcast path and the
+        hash-join-on-term path must produce identical scores (the gate
+        swaps between them by vocab size, so equality is the safety
+        property)."""
+        from jochre3_ocr_ray.ops.relational import _read, _to_table
+        from jochre3_ocr_ray.ops.textstats import _doc_count, tfidf_scores
+
+        sf = "/root/testdata/sf0.001"
+        ds = _read(sf, "documents", columns=["doc_id", "text"])
+        n = _doc_count(sf)
+        cols = ["doc_id", "term", "tf", "df", "tfidf"]
+        got_b = (
+            _to_table(tfidf_scores(ds, n, mode="broadcast"))
+            .select(cols)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        got_j = (
+            _to_table(tfidf_scores(ds, n, mode="join"))
+            .select(cols)
+            .to_pandas()
+            .sort_values(["doc_id", "term"])
+            .reset_index(drop=True)
+        )
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(got_b, got_j)
+
 
 class TestDecontamination:
     def test_planted_overlap(self, ray_session, tmp_path):
