@@ -50,6 +50,7 @@ from __future__ import annotations
 
 import hashlib
 import re
+from pathlib import Path
 
 import numpy as np
 import pandas as pd
@@ -413,35 +414,63 @@ def _verify_band_partition(
     )
 
 
-def q_dedup_minhash(
-    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+def minhash_verified_pairs_bucketed(
+    ds: "ray.data.Dataset",
+    threshold: float = JACCARD_THRESHOLD,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_parts: "int | None" = None,
+    spill_dir: "str | None" = None,
 ) -> pa.Table:
-    """Near-dup pairs: LSH candidates verified with exact Jaccard.
+    """LSH near-dup verify with a STREAMING write-time bucket exchange
+    (the headline assembly's shuffle shape, ``pipelines/extract.py``).
 
-    Hash-checked against ``TRUE_PAIRS_SQL``: on this corpus every true
-    pair has J >= 0.9 where the fixed-seed 16x4-band LSH recall is
-    1-(1-j^4)^16 > 1-4e-8, so the verified pairs equal the exact pair
-    set (verified empirically at every sf; deterministic seeds/data).
+    The banded dataset — band rows each carrying their doc's shingle
+    array, i.e. n_bands x the corpus's shingle bytes — is never
+    materialized in the object store. Instead the streaming executor
+    writes it straight to bucket-partitioned parquet
+    (``write_parquet(partition_cols=['bucket'])``, bucket = band-hash
+    mod num_parts), holding only in-flight blocks in memory with
+    backpressure; one verify task per bucket then reads its
+    co-located rows back and runs the exact-Jaccard check. Peak
+    object-store bytes stay O(in-flight blocks) regardless of corpus
+    size — the exchange lives on ``spill_dir`` (a shared FS / object
+    store prefix on a real cluster, /tmp here)."""
+    import shutil
+    import tempfile
 
-    Shuffle shape: the band exchange runs on the RAW-TASK ``_exchange``
-    (partition key = vectorized int64 band hash; exactness still
-    groups on the full binary band key inside each partition) — one
-    Dataset ``groupby`` would add its multi-second sort cost for a
-    corpus-sized exchange that tasks do in milliseconds of overhead.
-    The verified pair set is tiny, so multi-band dedup happens on the
-    materialized result."""
     import ray as _ray
 
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    banded = minhash_band_rows(ds, carry_shingles=True)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    num_parts = max(8, min(64, 2 * cpus))
+    banded = minhash_band_rows(ds, text_col, id_col, carry_shingles=True)
+    if num_parts is None:
+        # size like the hash join: one bucket per ~256MB of banded
+        # bytes (input bytes x the ~n_bands shingle replication),
+        # clamped to [cpus, 4*cpus] so small corpora still spread over
+        # the pool and huge ones bound per-bucket memory
+        import math
 
-    def verify_tab(t: pa.Table) -> pa.Table:
-        out = _verify_band_partition(t.to_pandas(), threshold)
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:  # noqa: BLE001
+            cpus = 8
+        banded_bytes = (ds.size_bytes() or 0) * _BANDS
+        num_parts = max(
+            max(8, cpus),
+            min(4 * cpus, math.ceil(banded_bytes / (256 << 20))),
+        )
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        bucket = t["band_int"].to_numpy() % num_parts
+        return t.append_column("bucket", pa.array(bucket, type=pa.int64()))
+
+    tmp = tempfile.mkdtemp(prefix="minhash_exchange_", dir=spill_dir)
+
+    @_ray.remote
+    def verify_bucket(paths: list[str]) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        part = pa.concat_tables([pq.read_table(p) for p in paths])
+        out = _verify_band_partition(part.to_pandas(), threshold, id_col)
         return pa.table(
             {
                 "id_a": pa.array(out["id_a"].to_numpy(dtype=np.int64)),
@@ -450,10 +479,18 @@ def q_dedup_minhash(
             }
         )
 
-    parts = _exchange(
-        banded.materialize().to_arrow_refs(), "band_int", num_parts, verify_tab
-    )
-    tables = [t for t in _ray.get(parts) if t.num_rows]
+    try:
+        banded.map_batches(add_bucket, batch_format="pyarrow").write_parquet(
+            tmp, partition_cols=["bucket"]
+        )
+        bucket_dirs = sorted(Path(tmp).glob("bucket=*"))
+        futs = [
+            verify_bucket.remote([str(f) for f in sorted(d.glob("*.parquet"))])
+            for d in bucket_dirs
+        ]
+        tables = [t for t in _ray.get(futs) if t.num_rows]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
     if not tables:
         return pa.table(
             {
@@ -468,7 +505,39 @@ def q_dedup_minhash(
         .drop_duplicates(["id_a", "id_b"])
         .reset_index(drop=True)
     )
-    return _round(pa.Table.from_pandas(pairs, preserve_index=False), {"jaccard": 4})
+    return pa.Table.from_pandas(pairs, preserve_index=False)
+
+
+def q_dedup_minhash(
+    sf_dir: str, threshold: float = JACCARD_THRESHOLD
+) -> pa.Table:
+    """Near-dup pairs: LSH candidates verified with exact Jaccard.
+
+    Hash-checked against ``TRUE_PAIRS_SQL``: on this corpus every true
+    pair has J >= 0.9 where the fixed-seed 16x4-band LSH recall is
+    1-(1-j^4)^16 > 1-4e-8, so the verified pairs equal the exact pair
+    set (verified empirically at every sf; deterministic seeds/data).
+
+    Shuffle shape: STREAMING write-time bucket exchange
+    (``minhash_verified_pairs_bucketed``) — the band x shingle
+    replication never materializes in the object store (the r4 peak-
+    memory cliff); the verified pair set is tiny, so multi-band dedup
+    happens on the materialized result. The read gets one block per
+    CPU: banding is the compute-heavy stage and the default small-file
+    block cap (8) leaves 3/4 of the pool idle."""
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    from ..sources.reader import read_parquet_clean
+
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(8, cpus),
+    )
+    pairs = minhash_verified_pairs_bucketed(ds, threshold)
+    return _round(pairs, {"jaccard": 4})
 
 
 Q_DEDUP_MINHASH_SQL = TRUE_PAIRS_SQL
