@@ -87,6 +87,10 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--standardize", default=None,
                    help="standardize mode (GET /standardize): "
                         "comma-separated words -> standardized forms")
+    p.add_argument("--detransliterate", default=None,
+                   help="reverse transliteration (YivoTransliterator."
+                        "detransliterate analog): comma-separated Roman "
+                        "words -> script forms")
     p.add_argument("--dehyphenate", action="store_true",
                    help="dehyphenate mode (POST /dehyphenate): treat "
                         "the payload as a text file, print the "
@@ -188,6 +192,18 @@ def main(argv: list[str] | None = None) -> int:
             print(
                 json.dumps(
                     {"standardized": [tr.transliterate(w) for w in words]},
+                    ensure_ascii=False,
+                )
+            )
+            return 0
+        if args.detransliterate is not None:
+            from .functions.transliterate import Transliterator
+
+            tr = Transliterator()
+            words = [w for w in args.detransliterate.split(",") if w]
+            print(
+                json.dumps(
+                    {"script": [tr.detransliterate(w) for w in words]},
                     ensure_ascii=False,
                 )
             )

@@ -33,6 +33,73 @@ class TestTransliterate:
         t = Transliterator()
         assert t.transliterate("ספר") == t.transliterate("ספר")
 
+    # parallel arrays shaped after the reference round-trip test
+    # (YivoTransliteratorTest.scala:7-47) on THIS engine's re-scoped
+    # language-neutral tables: canonical script forms on the left,
+    # their Roman forms on the right.
+    NORMAL = [
+        "שלום",
+        "מענטש",
+        "איך בין דא.",
+        "וויי און ווינט",
+        "קינדער",
+    ]
+    ROMANIZED = [
+        "shlum",
+        "mentsh",
+        "aikh bin da.",
+        "vey aun vint",
+        "kinder",
+    ]
+
+    def test_detransliterate_parallel_arrays(self):
+        """detransliterate inverts transliterate on the canonical-form
+        parallel arrays — both directions, the reference test's shape
+        (YivoTransliteratorTest.scala:35-47)."""
+        t = Transliterator()
+        assert [t.transliterate(w) for w in self.NORMAL] == self.ROMANIZED
+        assert [t.detransliterate(r) for r in self.ROMANIZED] == self.NORMAL
+
+    def test_round_trip_identity_on_canonical(self):
+        t = Transliterator()
+        for w in self.NORMAL:
+            assert t.detransliterate(t.transliterate(w)) == w
+
+    def test_round_trip_is_canonicalizing_projection(self):
+        """Where several script letters share one Roman form the round
+        trip canonicalizes (the reference's 'modulo precombination'
+        equivalence): applying it twice equals applying it once, for
+        ANY input — property-tested over arbitrary Hebrew-block
+        strings."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        t = Transliterator()
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            st.text(
+                alphabet=st.characters(min_codepoint=0x5D0, max_codepoint=0x5EA),
+                max_size=12,
+            )
+        )
+        def check(w):
+            canon = t.detransliterate(t.transliterate(w))
+            assert t.detransliterate(t.transliterate(canon)) == canon
+
+        check()
+
+    def test_detransliterate_final_forms(self):
+        t = Transliterator()
+        # word-final m/n/ts/kh take the final script letters; the same
+        # sounds mid-word take the non-final ones
+        assert t.detransliterate("min") == "מין"
+        assert t.detransliterate("nam") == "נאם"
+        assert t.detransliterate("tsits") == "ציץ"
+        assert t.detransliterate("khakh") == "חאך"
+        # unmapped characters pass through untouched
+        assert t.detransliterate("a-b c7") == "א-ב c7"
+
     def test_alternatives_dedup_sorted(self):
         t = Transliterator()
         alts = build_alternatives("Hello", t)
