@@ -19,8 +19,52 @@ from __future__ import annotations
 from xml.sax.saxutils import quoteattr
 
 
-def render_alto(turn_id: str, blocks: list[dict], confidence: float) -> str:
-    """Serialize one turn's extraction tree to ALTO-shaped XML."""
+def _render_styles(text_styles: list[dict]) -> str:
+    """<Styles> section — the ``TextStyle`` model
+    (``core/model/TextStyle.scala``; ``Alto.scala:27`` emits the
+    section): ID required, FONTFAMILY / FONTTYPE / FONTWIDTH optional
+    strings, FONTSIZE optional double rendered ``%.1f``."""
+    parts = ["<Styles>"]
+    for s in text_styles:
+        attrs = [f"ID={quoteattr(s['id'])}"]
+        for key, attr in (
+            ("font_family", "FONTFAMILY"),
+            ("font_type", "FONTTYPE"),
+            ("font_width", "FONTWIDTH"),
+        ):
+            if s.get(key):
+                attrs.append(f"{attr}={quoteattr(s[key])}")
+        if s.get("font_size") is not None:
+            attrs.append(f"FONTSIZE={quoteattr('%.1f' % s['font_size'])}")
+        parts.append(f"<TextStyle {' '.join(attrs)}/>")
+    parts.append("</Styles>")
+    return "".join(parts)
+
+
+def _render_tags(tags: list[dict]) -> str:
+    """<Tags> section — ``LayoutTag`` / ``StructureTag``
+    (``core/model/LayoutTag.scala``, ``StructureTag.scala``): each is
+    (kind, ID, LABEL)."""
+    parts = ["<Tags>"]
+    for t in tags:
+        elem = "LayoutTag" if t["kind"] == "layout" else "StructureTag"
+        parts.append(
+            f"<{elem} ID={quoteattr(t['id'])} LABEL={quoteattr(t['label'])}/>"
+        )
+    parts.append("</Tags>")
+    return "".join(parts)
+
+
+def render_alto(
+    turn_id: str,
+    blocks: list[dict],
+    confidence: float,
+    text_styles: list[dict] | None = None,
+    tags: list[dict] | None = None,
+) -> str:
+    """Serialize one turn's extraction tree to ALTO-shaped XML.
+    ``text_styles`` / ``tags`` add the declared ALTO-4 <Styles> and
+    <Tags> sections (``Alto.scala:9-10,27-28``) when non-empty."""
     parts = [
         '<alto xmlns="http://www.loc.gov/standards/alto/ns-v4#">',
         f"<Page ID={quoteattr(turn_id)} PC={quoteattr(f'{confidence:.6f}')}>",
@@ -70,7 +114,12 @@ def render_alto(turn_id: str, blocks: list[dict], confidence: float) -> str:
                     parts.append(f"<String {' '.join(attrs)}/>")
             parts.append("</TextLine>")
         parts.append("</TextBlock>")
-    parts.append("</PrintSpace></Page></alto>")
+    parts.append("</PrintSpace></Page>")
+    if text_styles:
+        parts.append(_render_styles(text_styles))
+    if tags:
+        parts.append(_render_tags(tags))
+    parts.append("</alto>")
     return "".join(parts)
 
 
@@ -156,10 +205,34 @@ def parse_alto(xml: str) -> dict:
                 )
             block["lines"].append(line)
         blocks.append(block)
+    # <Styles>/<Tags> round trip (TextStyle.fromXML semantics: absent
+    # attributes -> None, FONTSIZE parsed as double)
+    text_styles = []
+    for ts in root.iter("{http://www.loc.gov/standards/alto/ns-v4#}TextStyle"):
+        size = ts.get("FONTSIZE")
+        text_styles.append(
+            {
+                "id": ts.get("ID"),
+                "font_family": ts.get("FONTFAMILY") or None,
+                "font_type": ts.get("FONTTYPE") or None,
+                "font_width": ts.get("FONTWIDTH") or None,
+                "font_size": float(size) if size else None,
+            }
+        )
+    tags = []
+    for elem, kind in (("LayoutTag", "layout"), ("StructureTag", "structure")):
+        for tg in root.iter(
+            "{http://www.loc.gov/standards/alto/ns-v4#}" + elem
+        ):
+            tags.append(
+                {"kind": kind, "id": tg.get("ID"), "label": tg.get("LABEL")}
+            )
     return {
         "id": page.get("ID"),
         "confidence": float(page.get("PC")),
         "blocks": blocks,
+        "text_styles": text_styles,
+        "tags": tags,
     }
 
 

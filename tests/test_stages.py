@@ -79,6 +79,48 @@ class TestAltoRoundTrip:
                     assert w1["subs_type"] == w2["subs_type"]
                     assert w1["subs_content"] == w2["subs_content"]
 
+    def test_styles_and_tags_round_trip(self, lexicon):
+        """<Styles>/<Tags> sections of the ALTO-4 output contract
+        (Alto.scala:9-10,27-28; TextStyle.scala, LayoutTag.scala,
+        StructureTag.scala): render with non-empty styles + both tag
+        kinds and parse back losslessly; absent optional attributes
+        come back None (TextStyle.fromXML semantics)."""
+        from jochre3_ocr_ray.functions.extract import extract_turn
+
+        styles = [
+            {
+                "id": "TS1",
+                "font_family": "Serif",
+                "font_type": "italic",
+                "font_width": "proportional",
+                "font_size": 12.0,
+            },
+            {
+                "id": "TS2",
+                "font_family": None,
+                "font_type": None,
+                "font_width": None,
+                "font_size": None,
+            },
+        ]
+        tags = [
+            {"kind": "layout", "id": "LT1", "label": "column"},
+            {"kind": "structure", "id": "ST1", "label": "caption"},
+        ]
+        r = extract_turn("some words here", 3, lexicon)
+        xml = render_alto(
+            "c_3", r["blocks"], r["confidence"], text_styles=styles, tags=tags
+        )
+        assert "<Styles>" in xml and "<Tags>" in xml
+        back = parse_alto(xml)
+        assert back["text_styles"] == styles
+        assert back["tags"] == tags
+        # omitting them keeps the old output shape (no empty sections)
+        xml_plain = render_alto("c_3", r["blocks"], r["confidence"])
+        assert "<Styles>" not in xml_plain and "<Tags>" not in xml_plain
+        plain = parse_alto(xml_plain)
+        assert plain["text_styles"] == [] and plain["tags"] == []
+
     def test_alto_column_stage(self, ray_session, lexicon):
         import ray.data as rd
 
