@@ -78,22 +78,24 @@ def partitioned_apply(
     groups hashing to that partition and does the per-group work with a
     vectorized pandas groupby. Same co-location guarantee as a grouped
     shuffle; ~num_parts Python invocations total. Hot single keys can
-    still skew a partition — salt the key upstream if so."""
-    import pandas as pd
+    still skew a partition — salt the key upstream if so.
 
+    The partition-column stage is Arrow-native (append one int32
+    column to the zero-copy batch) — the previous pandas round trip
+    copied every wide string column per batch just to add the hash."""
     from ..functions.hashing import hash_partition
 
-    def add_part(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        batch["_part"] = hash_partition(
-            [batch[k].to_numpy() for k in keys], num_parts
+    def add_part(batch: pa.Table) -> pa.Table:
+        part = hash_partition(
+            [batch[k].to_numpy(zero_copy_only=False) for k in keys],
+            num_parts,
         )
-        return batch
+        return batch.append_column("_part", pa.array(part))
 
-    def run_part(group: pd.DataFrame) -> pd.DataFrame:
+    def run_part(group):
         return fn(group.drop(columns=["_part"]))
 
-    parted = ds.map_batches(add_part, batch_format="pandas")
+    parted = ds.map_batches(add_part, batch_format="pyarrow")
     return parted.groupby("_part").map_groups(run_part, batch_format=batch_format)
 
 

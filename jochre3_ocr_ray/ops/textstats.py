@@ -668,7 +668,8 @@ def pack_sequences(
     budget: int = PACK_SEQ_TOKENS,
     id_col: str = "doc_id",
     ntok_col: str = "n_tokens",
-) -> pa.Table:
+    as_dataset: bool = False,
+) -> "pa.Table | ray.data.Dataset":
     """Training sequence packing (concat-then-split): lay every
     document's tokens on one global tape in ``id_col`` order and cut
     it every ``budget`` tokens — the standard packing used to fill
@@ -682,7 +683,14 @@ def pack_sequences(
     exclusive prefix and re-dispatches one offset per block; each
     block then computes its rows' global positions with a local
     cumsum. No stage ever holds more than a block; driver state is
-    O(blocks)."""
+    O(blocks).
+
+    ``as_dataset=True`` is the web-scale library path: the packed
+    blocks stay in the object store and come back as a Dataset
+    (``from_arrow_refs`` — no driver concatenation), ready for
+    ``write_parquet``/further stages at 10^12 docs. The default table
+    return (the q_ driver contract) equals it row-for-row
+    (pytest-pinned)."""
     import ray as _ray
 
     mat = ds.sort(id_col).materialize()
@@ -731,9 +739,12 @@ def pack_sequences(
             }
         )
 
-    parts = _ray.get(
-        [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
-    )
+    out_refs = [pack_block.remote(r, int(o)) for r, o in zip(refs, offsets)]
+    if as_dataset:
+        import ray.data as rd
+
+        return rd.from_arrow_refs(out_refs)
+    parts = _ray.get(out_refs)
     parts = [t for t in parts if t.num_rows]
     if not parts:
         return pa.table(

@@ -186,14 +186,15 @@ def dedup_incremental(
         out_run = Path(out_dir) / f"run_{run_id}"
         out_run.mkdir(parents=True, exist_ok=True)
 
-    def add_hash(batch: pd.DataFrame) -> pd.DataFrame:
-        batch = batch.copy()
-        h = _content_hash64(batch[text_col].astype(str).tolist())
-        batch["_hash"] = h
-        batch["_bucket"] = index.bucket_of(h)
-        return batch
+    def add_hash(batch: pa.Table) -> pa.Table:
+        # Arrow-native: append two columns to the zero-copy batch
+        # instead of a full pandas round trip per batch on the wide
+        # text column
+        h = _content_hash64([str(v) for v in batch[text_col].to_pylist()])
+        batch = batch.append_column("_hash", pa.array(h))
+        return batch.append_column("_bucket", pa.array(index.bucket_of(h)))
 
-    hashed = new_ds.map_batches(add_hash, batch_format="pandas")
+    hashed = new_ds.map_batches(add_hash, batch_format="pyarrow")
 
     root = str(index.root)
 

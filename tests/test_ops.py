@@ -1453,6 +1453,32 @@ class TestPackSequences:
         # tape is gapless: consecutive starts differ by the doc's tokens
         assert out["n_tokens"].sum() == n.sum()
 
+    def test_dataset_path_equals_table_path(self, ray_session):
+        """as_dataset=True (the web-scale no-driver-concat library
+        path) returns the same rows as the table return."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.textstats import pack_sequences
+
+        rng = np.random.RandomState(9)
+        df = pd.DataFrame(
+            {"doc_id": np.arange(300), "n_tokens": rng.randint(0, 30, 300)}
+        )
+        ds = rd.from_pandas(df.sample(frac=1.0, random_state=2)).repartition(6)
+        tab = (
+            pack_sequences(ds, budget=32)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        ds_out = pack_sequences(ds, budget=32, as_dataset=True)
+        got = (
+            ds_out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(got, tab)
+
 
 class TestDegenerateDocsRound4Queries:
     """The round-4 queries (tfidf, decontaminate, pack, repetition)
