@@ -89,15 +89,33 @@ def read_transcripts(
     pattern: str = r".*\.parquet$",
     columns: list[str] | None = None,
     limit: int | None = None,
+    start_turn: int | None = None,
+    end_turn: int | None = None,
 ) -> "ray.data.Dataset":
-    """List + filter + read transcript parquet files as one Dataset."""
+    """List + filter + read transcript parquet files as one Dataset.
+
+    ``start_turn`` / ``end_turn`` slice every conversation to the
+    inclusive ``turn_idx`` range — the ``PDFToImageConverter``
+    startPage/endPage analog (``core/pdf/PDFToImageConverter.scala
+    :18-75``: convert only pages [startPage, endPage]). The range is a
+    parquet-level predicate (``read_parquet(filter=...)``), so pruning
+    happens at the row-group scan, before any turn leaves storage."""
+    import pyarrow.compute as pc
+
     rx = re.compile(pattern)
     files = sorted(
         str(p) for p in Path(input_dir).iterdir() if rx.match(p.name)
     )
     if not files:
         raise FileNotFoundError(f"no files matching {pattern!r} under {input_dir}")
-    ds = read_parquet_clean(files, columns=columns)
+    flt = None
+    if start_turn is not None:
+        flt = pc.field("turn_idx") >= start_turn
+    if end_turn is not None:
+        hi = pc.field("turn_idx") <= end_turn
+        flt = hi if flt is None else flt & hi
+    kwargs = {"filter": flt} if flt is not None else {}
+    ds = read_parquet_clean(files, columns=columns, **kwargs)
     if limit is not None:
         ds = ds.limit(limit)
     return ds

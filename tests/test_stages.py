@@ -147,6 +147,27 @@ class TestReader:
         with pytest.raises(FileNotFoundError):
             read_transcripts(small_corpus, pattern=r"nope-.*")
 
+    def test_turn_range_slice(self, ray_session, small_corpus):
+        """start_turn/end_turn — the PDFToImageConverter startPage/
+        endPage analog (PDFToImageConverter.scala:18-75): every
+        conversation sliced to the inclusive turn_idx range, pruned at
+        the parquet scan."""
+        from jochre3_ocr_ray.sources.reader import read_transcripts
+
+        full = read_transcripts(small_corpus).to_pandas()
+        got = read_transcripts(
+            small_corpus, start_turn=1, end_turn=2
+        ).to_pandas()
+        want = full[(full["turn_idx"] >= 1) & (full["turn_idx"] <= 2)]
+        assert len(got) == len(want) > 0
+        assert set(got["turn_idx"]) <= {1, 2}
+        # open-ended slices
+        lo = read_transcripts(small_corpus, start_turn=2).to_pandas()
+        assert (lo["turn_idx"] >= 2).all()
+        assert len(lo) == (full["turn_idx"] >= 2).sum()
+        hi = read_transcripts(small_corpus, end_turn=0).to_pandas()
+        assert set(hi["turn_idx"]) == {0}
+
 
 class TestJsonlSource:
     def test_jsonl_coerced_and_extractable(self, ray_session, tmp_path, lexicon):
