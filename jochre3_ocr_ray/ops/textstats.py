@@ -991,16 +991,40 @@ class DocProfile:
         )
 
 
+_PROFILE_SINGLETON: "DocProfile | None" = None
+
+
+def doc_profile_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task kernel with per-worker state (the headline
+    extraction's pattern): the ``DocProfile`` instance builds once per
+    worker PROCESS and is reused by every task scheduled there — actor
+    pools pay a spawn wave per query on small inputs."""
+    global _PROFILE_SINGLETON
+    if _PROFILE_SINGLETON is None:
+        _PROFILE_SINGLETON = DocProfile()
+    return _PROFILE_SINGLETON(batch)
+
+
 def q_doc_profile(sf_dir: str) -> "ray.data.Dataset":
     """One-pass document profile (driver entry consolidating the
     token_count / token_count_bpe / quality_score / fingerprint /
     langid / pii_scrub / repetition_stats operators — each still
     individually exposed + pytest-pinned; this single scan is their
-    composed production shape)."""
-    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(
-        DocProfile, batch_format="pyarrow", batch_size=4096, concurrency=(1, 8)
+    composed production shape). One read block per CPU: the kernel is
+    the compute-heavy stage and the small-file block cap would leave
+    most of the pool idle."""
+    from ..sources.reader import read_parquet_clean
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    ds = read_parquet_clean(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        override_num_blocks=max(8, cpus),
     )
+    return ds.map_batches(doc_profile_batch, batch_format="pyarrow")
 
 
 Q_DOC_PROFILE_SQL = f"""
