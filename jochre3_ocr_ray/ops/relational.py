@@ -1136,19 +1136,79 @@ WHERE EXISTS (
 
 
 def q_customers_semi_anti(sf_dir: str) -> pa.Table:
-    """Driver entry consolidating the ANTI and SEMI joins: the tagged
-    union of both (kind = 'anti_urgent' | 'semi_bigorder'), each side
-    running the SAME one-shuffle co-partitioned ``_anti_semi`` kernel
-    its standalone query uses."""
-    anti = q_customers_anti_urgent(sf_dir)
-    semi = q_customers_semi_bigorder(sf_dir)
-    anti = anti.append_column(
-        "kind", pa.array(["anti_urgent"] * anti.num_rows, type=pa.string())
+    """Driver entry consolidating the ANTI and SEMI joins as ONE pass:
+    one pruned orders read computes BOTH match flags (any-urgent /
+    any-big) as per-batch per-custkey partials, customers and flags
+    hash-partition together on the key (one shuffle — the same
+    co-partition topology as ``_anti_semi``), and each partition emits
+    the tagged union (kind = 'anti_urgent' | 'semi_bigorder').
+    Equality-pinned against the standalone kernels in
+    tests/test_ops.py::TestFusedConsolidations."""
+    import pandas as pd
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    orders = _read(
+        sf_dir,
+        "orders",
+        columns=["o_custkey", "o_orderpriority", "o_totalprice"],
     )
-    semi = semi.append_column(
-        "kind", pa.array(["semi_bigorder"] * semi.num_rows, type=pa.string())
+
+    def order_flags(t: pa.Table) -> pa.Table:
+        tt = pa.table(
+            {
+                "key": t["o_custkey"],
+                "urgent": pc.cast(
+                    pc.equal(t["o_orderpriority"], "1-URGENT"), pa.int8()
+                ),
+                "big": pc.cast(
+                    pc.greater(t["o_totalprice"], 450000.0), pa.int8()
+                ),
+            }
+        )
+        # per-batch combine: one row per custkey per block
+        return tt.group_by("key").aggregate([("urgent", "max"), ("big", "max")])
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["key"],
+                "c_name": pa.nulls(len(t), pa.string()),
+                "urgent": t["urgent_max"],
+                "big": t["big_max"],
+                "side": pa.array(["O"] * len(t)),
+            }
+        )
+
+    def tag_cust(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": t["c_custkey"],
+                "c_name": t["c_name"],
+                "urgent": pa.nulls(len(t), pa.int8()),
+                "big": pa.nulls(len(t), pa.int8()),
+                "side": pa.array(["C"] * len(t)),
+            }
+        )
+
+    both = cust.map_batches(tag_cust, batch_format="pyarrow").union(
+        orders.map_batches(order_flags, batch_format="pyarrow").map_batches(
+            tag_orders, batch_format="pyarrow"
+        )
     )
-    return pa.concat_tables([anti, semi])
+
+    def part_fn(part: pd.DataFrame) -> pd.DataFrame:
+        o = part[part["side"] == "O"]
+        urgent = set(o.loc[o["urgent"] > 0, "key"])
+        big = set(o.loc[o["big"] > 0, "key"])
+        c = part[part["side"] == "C"]
+        anti = c.loc[~c["key"].isin(urgent), ["key", "c_name"]]
+        semi = c.loc[c["key"].isin(big), ["key", "c_name"]]
+        anti = anti.assign(kind="anti_urgent")
+        semi = semi.assign(kind="semi_bigorder")
+        out = pd.concat([anti, semi]).rename(columns={"key": "c_custkey"})
+        return out.astype({"c_custkey": "int64"})
+
+    return _to_table(partitioned_apply(both, ["key"], part_fn))
 
 
 Q_CUSTOMERS_SEMI_ANTI_SQL = f"""
