@@ -426,16 +426,29 @@ class MediaPipeline:
         )
 
 
+_MEDIA_PIPELINE_SINGLETON: "MediaPipeline | None" = None
+
+
+def media_pipeline_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task kernel with per-worker state: the fused media
+    stage builds once per worker process (codec/model state would load
+    there) — an actor pool pays a spawn wave per query and caps
+    parallelism at its pool size."""
+    global _MEDIA_PIPELINE_SINGLETON
+    if _MEDIA_PIPELINE_SINGLETON is None:
+        _MEDIA_PIPELINE_SINGLETON = MediaPipeline()
+    return _MEDIA_PIPELINE_SINGLETON(batch)
+
+
 def q_media_pipeline(sf_dir: str) -> "ray.data.Dataset":
     """Driver entry consolidating media_features / media_frames /
     media_resize into the decode-once fused pass (each standalone stage
     remains exposed + oracle-equivalent; see ``MediaPipeline``)."""
     media = synthesize_media_dataset(sf_dir)
     return media.map_batches(
-        MediaPipeline,
+        media_pipeline_batch,
         batch_format="pyarrow",
         batch_size=256,           # payloads live in the batch
-        concurrency=(1, 4),
         num_cpus=1,
     )
 
