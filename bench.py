@@ -102,32 +102,45 @@ def run_bench() -> dict:
 
     import shutil
 
+    # best-of-N (same protocol the scaling path uses, documented in
+    # BASELINE.md): this sandbox is a shared VM with bursty neighbor
+    # interference that can double a draw's wall time; the minimum is
+    # the least-noisy estimate of the pipeline's actual cost. All
+    # draws are reported so the spread stays visible.
+    repeats = int(os.environ.get("GRAFT_BENCH_REPEATS", "2"))
     work = f"/tmp/jochre3_bench_work_{NUM_CPUS}"
-    shutil.rmtree(work, ignore_errors=True)
-    t0 = time.perf_counter()
-    run_pipeline(
-        corpus,
-        work,
-        num_shards=4,
-        resume=False,
-        include_blocks=True,
-        batch_size=512,
-        concurrency=(2, NUM_CPUS),
-    )
-    headline_sec = time.perf_counter() - t0
+    headline_draws: list[float] = []
+    for _ in range(repeats):
+        shutil.rmtree(work, ignore_errors=True)
+        t0 = time.perf_counter()
+        run_pipeline(
+            corpus,
+            work,
+            num_shards=4,
+            resume=False,
+            include_blocks=True,
+            batch_size=512,
+            concurrency=(2, NUM_CPUS),
+        )
+        headline_draws.append(round(time.perf_counter() - t0, 3))
+    headline_sec = min(headline_draws)
 
     # ---- per-query timings over the sf dir (skipped in the scaling
-    # subprocesses — scaling measures the headline pipeline only)
+    # subprocesses — scaling measures the headline pipeline only);
+    # per-query minimum across the same best-of-N repeats
     query_secs: dict[str, float] = {}
     if not os.environ.get("GRAFT_HEADLINE_ONLY"):
         queries = entry_mod.queries()
-        for name in QUERY_NAMES:
-            fn = queries[name]
-            t0 = time.perf_counter()
-            result = fn(SF_DIR)
-            if hasattr(result, "materialize"):
-                result = result.materialize()
-            query_secs[name] = round(time.perf_counter() - t0, 3)
+        for _ in range(repeats):
+            for name in QUERY_NAMES:
+                fn = queries[name]
+                t0 = time.perf_counter()
+                result = fn(SF_DIR)
+                if hasattr(result, "materialize"):
+                    result = result.materialize()
+                sec = round(time.perf_counter() - t0, 3)
+                if name not in query_secs or sec < query_secs[name]:
+                    query_secs[name] = sec
 
     ray.shutdown()
     return {
@@ -139,6 +152,8 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "bench_turns": n_turns,
         "turns_per_sec": round(n_turns / headline_sec, 1),
+        "headline_draws": headline_draws,
+        "repeats": repeats,
     }
 
 
@@ -157,6 +172,9 @@ def run_scaling() -> dict:
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_HEADLINE_ONLY="1",
+            # hedging lives in the outer best-of-N loop here; one
+            # headline run per subprocess keeps the legs comparable
+            GRAFT_BENCH_REPEATS="1",
             GRAFT_BENCH_TURNS=os.environ.get(
                 "GRAFT_SCALING_TURNS",
                 os.environ.get("GRAFT_BENCH_TURNS", "200000"),

@@ -252,3 +252,72 @@ class TestEmbeddingLshNearDup:
         # gaussian vectors are uniform on the sphere: max occupancy
         # stays within a small factor of the target, nowhere near N
         assert counts.max() <= 8 * 32, counts.max()
+
+
+class TestSemanticDedup:
+    def test_planted_twins_in_clusters(self, ray_session):
+        """Three well-separated clusters with planted near-identical
+        twins: every twin's higher id is dropped with rep = lower id,
+        everything else survives, every input id appears exactly once."""
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import semantic_dedup
+
+        rng = np.random.RandomState(7)
+        centers = np.eye(3, 16) * 10.0
+        rows, ids = [], []
+        nid = 0
+        for c in range(3):
+            for _ in range(40):
+                rows.append(centers[c] + rng.standard_normal(16))
+                ids.append(nid)
+                nid += 1
+        base_n = nid
+        # plant 6 twins: tiny perturbation of an existing member
+        twin_src = [0, 5, 45, 50, 85, 110]
+        for s in twin_src:
+            rows.append(rows[s] + 1e-4)
+            ids.append(nid)
+            nid += 1
+        ds = rd.from_pandas(
+            pd.DataFrame({"vec_id": ids, "embedding": [r for r in rows]})
+        ).repartition(4)
+        out = (
+            semantic_dedup(ds, k=3, threshold=0.999, refine_iters=5)
+            .to_pandas()
+            .set_index("id")
+            .sort_index()
+        )
+        assert len(out) == nid and out.index.is_unique
+        for s in twin_src:
+            twin = base_n + twin_src.index(s)
+            assert not out.loc[twin, "keep"], (s, twin)
+            assert out.loc[twin, "rep_id"] == s
+            assert out.loc[s, "keep"] and out.loc[s, "rep_id"] == s
+            assert out.loc[twin, "max_sim"] >= 0.999
+        assert int((~out["keep"]).sum()) == len(twin_src)
+        # cluster partition is the kmeans one: twins share their
+        # source's cluster
+        for s in twin_src:
+            assert out.loc[s, "cid"] == out.loc[base_n + twin_src.index(s), "cid"]
+
+    def test_cluster_size_guard(self, ray_session):
+        """A cluster above max_cluster_rows raises instead of going
+        silently quadratic."""
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import semantic_dedup
+
+        rng = np.random.RandomState(3)
+        mat = rng.standard_normal((50, 8)) + 20.0  # one tight blob
+        ds = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": np.arange(50), "embedding": [r for r in mat]}
+            )
+        )
+        with pytest.raises(Exception, match="max_cluster_rows"):
+            semantic_dedup(
+                ds, k=2, refine_iters=0, max_cluster_rows=10
+            ).materialize()

@@ -1431,6 +1431,63 @@ class TestDecontamination:
         assert out.loc[3, "contaminated"] and out.loc[3, "n_hits"] == 2
         assert not out.loc[4, "contaminated"] and out.loc[4, "n_hits"] == 0
 
+    def test_bloom_mode_matches_exact(self, ray_session):
+        """The Bloom broadcast variant: hits are an UPPER bound on the
+        exact count (False is certain, True may be a rare FP), and on
+        a real-size corpus the flags agree with the exact path."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import (
+            _bloom_build,
+            _bloom_contains,
+            contamination,
+        )
+
+        # kernel: membership is exact on inserted values, FP rate on
+        # absent values stays near the documented bound
+        rng = np.random.RandomState(13)
+        inserted = np.unique(rng.randint(0, 1 << 60, size=5000))
+        absent = np.unique(rng.randint(0, 1 << 60, size=20000))
+        absent = np.setdiff1d(absent, inserted)
+        words, m, k = _bloom_build(inserted, bits_per_item=16)
+        assert _bloom_contains(words, m, k, inserted).all()
+        fp = _bloom_contains(words, m, k, absent).mean()
+        assert fp < 0.01, fp
+
+        # end-to-end: bloom flags == exact flags on a 300-doc corpus
+        # with planted overlap (at 16 bits/item a flag flip would need
+        # min_hits false positives inside ONE doc's shingle set)
+        docs = [
+            {
+                "doc_id": i,
+                "text": " ".join(
+                    f"w{rng.randint(0, 400)}" for _ in range(30)
+                ),
+            }
+            for i in range(300)
+        ]
+        bench = rd.from_items(docs[:30])
+        train = rd.from_items(docs[30:])
+        exact = (
+            contamination(train, bench)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        bloom = (
+            contamination(train, bench, bench_filter="bloom")
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert (bloom["n_hits"] >= exact["n_hits"]).all()
+        assert exact["contaminated"].any()  # non-vacuous
+        pd.testing.assert_series_equal(
+            bloom["contaminated"], exact["contaminated"]
+        )
+
 
 class TestPackSequences:
     def test_tape_positions(self, ray_session):
