@@ -321,3 +321,38 @@ class TestSemanticDedup:
             semantic_dedup(
                 ds, k=2, refine_iters=0, max_cluster_rows=10
             ).materialize()
+
+    def test_degenerate_inputs(self, ray_session):
+        """Fewer rows than k, and duplicate-of-duplicate chains: the
+        partition still covers every row exactly once and the chain
+        collapses to one keeper."""
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import semantic_dedup
+
+        # 3 rows, k=8: seed centroids clamp to the available rows
+        mat = np.eye(3, 8)
+        ds = rd.from_pandas(
+            pd.DataFrame({"vec_id": [7, 3, 5], "embedding": [r for r in mat]})
+        )
+        out = semantic_dedup(ds, k=8, refine_iters=2).to_pandas()
+        assert sorted(out["id"]) == [3, 5, 7] and out["keep"].all()
+
+        # a chain a~b~c within one cluster: all collapse to min id
+        base = np.ones(8)
+        chain = np.stack([base, base * 1.0000001, base * 1.0000002])
+        ds2 = rd.from_pandas(
+            pd.DataFrame(
+                {"vec_id": [10, 11, 12], "embedding": [r for r in chain]}
+            )
+        )
+        out2 = (
+            semantic_dedup(ds2, k=1, refine_iters=0, threshold=0.999)
+            .to_pandas()
+            .set_index("id")
+            .sort_index()
+        )
+        assert out2.loc[10, "keep"]
+        assert not out2.loc[11, "keep"] and out2.loc[11, "rep_id"] == 10
+        assert not out2.loc[12, "keep"] and out2.loc[12, "rep_id"] == 10
