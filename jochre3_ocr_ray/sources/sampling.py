@@ -43,3 +43,93 @@ def train_val_split(
         tagged.map_batches(keep(False), batch_format="pyarrow"),
         tagged.map_batches(keep(True), batch_format="pyarrow"),
     )
+
+
+def _stable_hash(values) -> "pa.Array":
+    """Deterministic vectorized uint64 hash of a column (pandas
+    siphash with the fixed default key — stable across runs,
+    processes and partitionings)."""
+    import numpy as np
+    import pandas as pd
+
+    vals = values.to_numpy(zero_copy_only=False)
+    if vals.dtype == object:
+        vals = vals.astype(str)
+    h = pd.util.hash_array(vals, categorize=False)
+    return pa.array(h.astype(np.uint64), type=pa.uint64())
+
+
+def bottom_k_sample(
+    ds: "ray.data.Dataset", n: int, key_col: str
+) -> "ray.data.Dataset":
+    """Fixed-SIZE uniform sample without replacement — the
+    reservoir-sampling analog, done as a DETERMINISTIC bottom-k
+    sketch: keep the ``n`` rows whose stable key-hash is smallest.
+    Unlike a true reservoir (whose output depends on encounter
+    order), this commutes with repartitioning and resume, and two
+    runs over the same corpus agree row-for-row.
+
+    Shape at scale: each batch keeps its LOCAL bottom-n (vectorized
+    hash + argpartition, no sort of the batch), so at most
+    O(blocks x n) candidate rows move to the final top-level
+    reduction — never the corpus."""
+    import numpy as np
+
+    def local_bottom(batch: pa.Table) -> pa.Table:
+        h = _stable_hash(batch[key_col])
+        batch = batch.append_column("_bk_hash", h)
+        if batch.num_rows <= n:
+            return batch
+        hv = h.to_numpy(zero_copy_only=False)
+        idx = np.argpartition(hv, n - 1)[:n]
+        return batch.take(pa.array(np.sort(idx)))
+
+    cand = ds.map_batches(local_bottom, batch_format="pyarrow")
+    # global bottom-n over the (blocks x n)-row candidate set: tiny by
+    # construction, one sort + limit
+    return (
+        cand.sort("_bk_hash")
+        .limit(n)
+        .map_batches(
+            lambda b: b.drop_columns(["_bk_hash"]), batch_format="pyarrow"
+        )
+    )
+
+
+def stratified_sample(
+    ds: "ray.data.Dataset", n_per_group: int, group_col: str, key_col: str
+) -> "ray.data.Dataset":
+    """Deterministic bottom-k sample WITHIN each group — per-class
+    balancing for training mixes (n examples per language / source /
+    label). Same hash sketch as :func:`bottom_k_sample`; the per-batch
+    partial keeps at most ``n_per_group`` rows per group it sees, so
+    the groupby exchange moves O(blocks x groups x n) candidates, not
+    the corpus."""
+    import pandas as pd
+
+    def local_bottom(batch: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_array(
+            batch[key_col].to_numpy()
+            if batch[key_col].dtype != object
+            else batch[key_col].astype(str).to_numpy(),
+            categorize=False,
+        )
+        batch = batch.assign(_bk_hash=h)
+        return (
+            batch.sort_values("_bk_hash", kind="mergesort")
+            .groupby(group_col, sort=False)
+            .head(n_per_group)
+        )
+
+    def group_bottom(group: pd.DataFrame) -> pd.DataFrame:
+        return (
+            group.sort_values("_bk_hash", kind="mergesort")
+            .head(n_per_group)
+            .drop(columns=["_bk_hash"])
+        )
+
+    return (
+        ds.map_batches(local_bottom, batch_format="pandas")
+        .groupby(group_col)
+        .map_groups(group_bottom, batch_format="pandas")
+    )

@@ -119,3 +119,56 @@ class TestTrainValSplit:
         # deterministic on re-run
         train2, val2 = train_val_split(ds, "k", every_nth=4)
         assert sorted(r["k"] for r in val2.take_all()) == v1
+
+
+class TestFixedSizeSampling:
+    def test_bottom_k_matches_brute_force_and_partitioning(self, ray_session):
+        """bottom_k_sample is the deterministic reservoir analog: the
+        result equals the brute-force n-smallest-hash set and is
+        identical under different partitionings."""
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.sources.sampling import bottom_k_sample
+
+        df = pd.DataFrame({"doc_id": np.arange(1000), "v": np.arange(1000) * 3})
+        h = pd.util.hash_array(df["doc_id"].to_numpy(), categorize=False)
+        want = set(df["doc_id"].to_numpy()[np.argsort(h)[:50]])
+        got8 = bottom_k_sample(
+            rd.from_pandas(df).repartition(8), 50, "doc_id"
+        ).to_pandas()
+        got3 = bottom_k_sample(
+            rd.from_pandas(df).repartition(3), 50, "doc_id"
+        ).to_pandas()
+        assert set(got8["doc_id"]) == want
+        assert set(got3["doc_id"]) == want
+        assert list(got8.columns) == ["doc_id", "v"]  # hash col dropped
+        # n larger than the corpus: everything survives
+        small = rd.from_pandas(df.head(7))
+        assert len(bottom_k_sample(small, 50, "doc_id").to_pandas()) == 7
+
+    def test_stratified_exact_per_group(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.sources.sampling import stratified_sample
+
+        df = pd.DataFrame(
+            {"doc_id": np.arange(1000), "grp": np.arange(1000) % 7}
+        )
+        st = stratified_sample(
+            rd.from_pandas(df).repartition(8), 5, "grp", "doc_id"
+        ).to_pandas()
+        assert sorted(st.groupby("grp").size().tolist()) == [5] * 7
+        for g, sub in df.groupby("grp"):
+            hh = pd.util.hash_array(sub["doc_id"].to_numpy(), categorize=False)
+            want = set(sub["doc_id"].to_numpy()[np.argsort(hh)[:5]])
+            assert set(st.loc[st.grp == g, "doc_id"]) == want
+        # a group smaller than n keeps all its rows
+        tiny = pd.DataFrame({"doc_id": [1, 2, 3], "grp": [0, 0, 1]})
+        out = stratified_sample(
+            rd.from_pandas(tiny), 5, "grp", "doc_id"
+        ).to_pandas()
+        assert len(out) == 3
