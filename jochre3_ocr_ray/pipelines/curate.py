@@ -78,6 +78,64 @@ def curated_dataset(
     return partitioned_apply(filtered, ["text_hash"], keep_first)
 
 
+def balanced_training_mix(
+    sf_dir: str,
+    n_per_stratum: int = 25,
+    min_tokens: int = MIN_TOKENS,
+    min_alpha: float = MIN_ALPHA,
+) -> "ray.data.Dataset":
+    """Quality-filter -> exact-dedup -> BALANCED per-(lang, source)
+    fixed-size sample — the data-mixing step of a training pipeline
+    (equal examples per stratum regardless of how skewed the raw
+    corpus is). Sampling is the deterministic bottom-k hash sketch
+    (``sources.sampling.stratified_sample``), so the mix is
+    reproducible across runs, resumes and partitionings. Returns
+    kept rows ``(doc_id, lang, source, n_tokens)``."""
+    from ..sources.sampling import stratified_sample
+
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        out = _stats_and_hash(batch.select(["doc_id", "text"]))
+        return out.append_column("lang", batch["lang"]).append_column(
+            "source", batch["source"]
+        )
+
+    scored = ds.map_batches(stats, batch_format="pyarrow", batch_size=65536)
+
+    def quality_filter(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.greater_equal(batch["n_tokens"], min_tokens),
+            pc.greater_equal(batch["alpha_ratio"], min_alpha),
+        )
+        return batch.filter(mask)
+
+    filtered = scored.map_batches(quality_filter, batch_format="pyarrow")
+
+    def keep_first(part: pd.DataFrame) -> pd.DataFrame:
+        return part.loc[part.groupby("text_hash")["doc_id"].idxmin()]
+
+    deduped = partitioned_apply(filtered, ["text_hash"], keep_first)
+
+    def add_stratum(batch: pa.Table) -> pa.Table:
+        stratum = pc.binary_join_element_wise(
+            pc.cast(batch["lang"], pa.string()),
+            pc.cast(batch["source"], pa.string()),
+            "/",
+        )
+        return batch.append_column("stratum", stratum)
+
+    with_stratum = deduped.map_batches(add_stratum, batch_format="pyarrow")
+    sampled = stratified_sample(
+        with_stratum, n_per_stratum, group_col="stratum", key_col="doc_id"
+    )
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "lang", "source", "n_tokens"])
+
+    return sampled.map_batches(project, batch_format="pyarrow")
+
+
 def q_curate_documents(sf_dir: str) -> pa.Table:
     kept = _to_table(curated_dataset(sf_dir))
     kept = kept.select(["doc_id", "n_tokens", "alpha_ratio"])

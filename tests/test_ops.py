@@ -1632,3 +1632,70 @@ class TestDegenerateDocsRound4Queries:
         got = q_decontaminate(str(sf)).to_pandas()
         want = self._oracle(sf, Q_DECONTAMINATE_SQL)
         self._assert_aligned(got, want, ["doc_id"])
+
+
+class TestBalancedTrainingMix:
+    def test_exact_local_recompute(self, ray_session):
+        """balanced_training_mix vs a full local pandas recomputation
+        of quality filter -> keep-min-id exact dedup -> bottom-k
+        stratified sample on sf0.001 — row-for-row equality."""
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from jochre3_ocr_ray.pipelines.curate import (
+            MIN_ALPHA,
+            MIN_TOKENS,
+            balanced_training_mix,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        got = (
+            balanced_training_mix(sf, n_per_stratum=5)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+        df = pq.read_table(
+            f"{sf}/documents.parquet",
+            columns=["doc_id", "text", "lang", "source"],
+        ).to_pandas()
+        trimmed = df["text"].str.strip()
+        n_tokens = np.where(
+            trimmed.str.len() > 0,
+            trimmed.str.count(r"\s+") + 1,
+            0,
+        )
+        alpha = df["text"].str.count("[A-Za-z]")
+        alpha_ratio = alpha / df["text"].str.len().clip(lower=1)
+        df = df.assign(
+            n_tokens=n_tokens,
+            alpha_ratio=alpha_ratio,
+            text_hash=[
+                hashlib.md5(t.encode("utf-8")).hexdigest() for t in df["text"]
+            ],
+        )
+        keep = df[
+            (df["n_tokens"] >= MIN_TOKENS) & (df["alpha_ratio"] >= MIN_ALPHA)
+        ]
+        keep = keep.loc[keep.groupby("text_hash")["doc_id"].idxmin()]
+        keep = keep.assign(
+            _h=pd.util.hash_array(keep["doc_id"].to_numpy(), categorize=False),
+            stratum=keep["lang"] + "/" + keep["source"],
+        )
+        want = (
+            keep.sort_values("_h", kind="mergesort")
+            .groupby("stratum", sort=False)
+            .head(5)[["doc_id", "lang", "source", "n_tokens"]]
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert len(got) == len(want), (len(got), len(want))
+        pd.testing.assert_frame_equal(
+            got.astype({"n_tokens": "int64"}),
+            want.astype({"n_tokens": "int64"}),
+        )
