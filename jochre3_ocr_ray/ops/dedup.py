@@ -1420,6 +1420,236 @@ def semantic_dedup(
     )
 
 
+# ------------------------------------------------- exact-substring dedup
+EXACTSUBSTR_WINDOW = 50
+EXACTSUBSTR_BROADCAST_MAX_BYTES = 64 << 20
+
+
+def _window_hashes(text: str, window: int) -> np.ndarray:
+    """POSITIONAL ``window``-token hashes — one 61-bit hash per start
+    token (the ``_shingle_array`` combine without the unique/sort, so
+    index i is the window starting at token i). Empty when the doc has
+    fewer than ``window`` tokens."""
+    hs = _token_hashes(text)
+    if len(hs) < window:
+        return np.empty(0, dtype=np.int64)
+    m = len(hs) - window + 1
+    acc = hs[:m].copy()
+    for k in range(1, window):
+        acc = (acc * _FNV_PRIME) ^ hs[k : m + k]
+    acc &= np.uint64((1 << 61) - 1)
+    return acc.astype(np.int64)
+
+
+def duplicated_window_hashes(
+    ds: "ray.data.Dataset",
+    window: int = EXACTSUBSTR_WINDOW,
+    text_col: str = "text",
+) -> "ray.data.Dataset":
+    """Window hashes occurring >= 2 times corpus-wide (within-doc
+    repeats count, matching Lee et al.'s every-occurrence semantics).
+    Per-batch partial counts first, so the ONE groupby exchange is
+    bounded by the batch-distinct window count, not total tokens."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        all_h = [
+            _window_hashes(t, window) for t in batch[text_col].to_pylist()
+        ]
+        merged = (
+            np.concatenate(all_h) if all_h else np.empty(0, dtype=np.int64)
+        )
+        uniq, cnt = np.unique(merged, return_counts=True)
+        return pa.table(
+            {"h": pa.array(uniq), "cnt": pa.array(cnt.astype(np.int64))}
+        )
+
+    counts = ds.map_batches(partial, batch_format="pyarrow")
+    summed = counts.groupby("h").sum("cnt")
+
+    def dups_only(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"h": batch.filter(pc.greater_equal(batch["sum(cnt)"], 2))["h"]}
+        )
+
+    return summed.map_batches(dups_only, batch_format="pyarrow")
+
+
+def _clip_dup_spans(
+    text: str, starts: np.ndarray, window: int
+) -> tuple[str, int]:
+    """Drop every token covered by a duplicated window (interval cover
+    via a diff array). Output joins surviving tokens with single
+    spaces — whitespace is normalized, which is the tokenization the
+    detection itself runs on."""
+    tokens = text.split()
+    if len(starts) == 0:
+        return " ".join(tokens), 0
+    delta = np.zeros(len(tokens) + 1, dtype=np.int64)
+    delta[starts] += 1
+    ends = np.minimum(starts + window, len(tokens))
+    np.add.at(delta, ends, -1)
+    covered = np.cumsum(delta[:-1]) > 0
+    kept = [t for t, c in zip(tokens, covered) if not c]
+    return " ".join(kept), int(covered.sum())
+
+
+def exact_substring_dedup(
+    ds: "ray.data.Dataset",
+    *,
+    window: int = EXACTSUBSTR_WINDOW,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mode: str = "broadcast",
+) -> "ray.data.Dataset":
+    """ExactSubstr deduplication (Lee et al. 2022, arXiv:2107.06499):
+    remove EVERY occurrence of any >= ``window``-token span that
+    appears more than once in the corpus (across or within docs). The
+    reference method builds a corpus-wide suffix array; here the same
+    semantics come from positional window hashes — pass 1 finds
+    duplicated window hashes (combiner partials -> one bounded
+    groupby), pass 2 re-derives each doc's windows and clips covered
+    tokens (interval cover, vectorized).
+
+    ``mode="broadcast"`` ships the duplicated-hash set to every worker
+    via ``ray.put`` — gated at ``EXACTSUBSTR_BROADCAST_MAX_BYTES``
+    (duplicated windows are typically a tiny fraction of the corpus;
+    web-scale dup-heavy corpora overflow the gate and must use
+    ``mode="positions"``). ``mode="positions"`` never broadcasts: it
+    emits (id, pos) for every window, inner-joins against the dup
+    hashes on h (both sides hash-partitioned), and regroups clip
+    positions per doc — token-scale exchange, the honest distributed
+    cost of the suffix-array semantics.
+
+    Returns ``(id, text (deduped, whitespace-normalized),
+    n_tokens_removed)``. Docs shorter than ``window`` tokens pass
+    through (whitespace-normalized)."""
+    dup_ds = duplicated_window_hashes(ds, window, text_col)
+
+    if mode == "broadcast":
+        dup_tab = _to_table(dup_ds)
+        dup_arr = np.sort(dup_tab["h"].to_numpy())
+        if dup_arr.nbytes > EXACTSUBSTR_BROADCAST_MAX_BYTES:
+            raise ValueError(
+                f"duplicated-window set is {dup_arr.nbytes >> 20} MiB "
+                f"(> {EXACTSUBSTR_BROADCAST_MAX_BYTES >> 20} MiB broadcast "
+                f"gate); rerun with mode='positions'"
+            )
+        dup_ref = ray.put(dup_arr)
+
+        def clip(batch: pa.Table) -> pa.Table:
+            dup = ray.get(dup_ref)
+            texts, removed = [], []
+            for t in batch[text_col].to_pylist():
+                wh = _window_hashes(t, window)
+                starts = (
+                    np.nonzero(np.isin(wh, dup, assume_unique=False))[0]
+                    if wh.size
+                    else np.empty(0, dtype=np.int64)
+                )
+                new_t, n_rm = _clip_dup_spans(t, starts, window)
+                texts.append(new_t)
+                removed.append(n_rm)
+            return pa.table(
+                {
+                    id_col: batch[id_col],
+                    text_col: pa.array(texts, type=pa.string()),
+                    "n_tokens_removed": pa.array(removed, type=pa.int64()),
+                }
+            )
+
+        return ds.map_batches(clip, batch_format="pyarrow")
+
+    if mode != "positions":
+        raise ValueError(f"mode must be 'broadcast' or 'positions', got {mode!r}")
+
+    # positions mode: (id, pos, h) for every window, joined to the dup
+    # hashes — no driver/broadcast state at any size
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, poss, hs = [], [], []
+        for i, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            wh = _window_hashes(t, window)
+            if wh.size:
+                ids.append(np.full(wh.size, i, dtype=np.int64))
+                poss.append(np.arange(wh.size, dtype=np.int64))
+                hs.append(wh)
+        if not ids:
+            return pa.table(
+                {
+                    "id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "h": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate(ids)),
+                "pos": pa.array(np.concatenate(poss)),
+                "h": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    windows = ds.map_batches(explode, batch_format="pyarrow")
+    hits = windows.join(
+        dup_ds.map_batches(
+            lambda b: b.append_column(
+                "dup", pa.array(np.ones(b.num_rows, dtype=bool))
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="inner",
+        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+        on=("h",),
+    )
+
+    def pos_lists(group: pd.DataFrame) -> pd.DataFrame:
+        # int64-LE blob, not a list column: Ray's hash join rejects
+        # list-typed non-key fields
+        return pd.DataFrame(
+            {
+                "id": [int(group["id"].iloc[0])],
+                "starts": [
+                    np.sort(group["pos"].to_numpy().astype(np.int64)).tobytes()
+                ],
+            }
+        )
+
+    per_doc = hits.groupby("id").map_groups(pos_lists, batch_format="pandas")
+    # docs LEFT OUTER positions on id — both sides hash-partitioned,
+    # nothing broadcast, nothing on the driver at any corpus size
+    joined = ds.join(
+        per_doc,
+        join_type="left_outer",
+        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+        on=(id_col,),
+        right_on=("id",),
+    )
+
+    def clip_joined(batch: pa.Table) -> pa.Table:
+        texts, removed = [], []
+        for t, starts in zip(
+            batch[text_col].to_pylist(), batch["starts"].to_pylist()
+        ):
+            arr = (
+                np.frombuffer(starts, dtype=np.int64)
+                if starts is not None
+                else np.empty(0, dtype=np.int64)
+            )
+            new_t, n_rm = _clip_dup_spans(t, arr, window)
+            texts.append(new_t)
+            removed.append(n_rm)
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                text_col: pa.array(texts, type=pa.string()),
+                "n_tokens_removed": pa.array(removed, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(clip_joined, batch_format="pyarrow")
+
+
 # ------------------------------------------------------- n-gram jaccard
 def ngram_jaccard(text_a: str, text_b: str, n: int = 2) -> float:
     """Exact word n-gram Jaccard similarity (the verify kernel)."""

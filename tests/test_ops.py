@@ -1699,3 +1699,82 @@ class TestBalancedTrainingMix:
             got.astype({"n_tokens": "int64"}),
             want.astype({"n_tokens": "int64"}),
         )
+
+
+class TestExactSubstringDedup:
+    """ExactSubstr (Lee et al. 2022) semantics: every occurrence of a
+    duplicated >= window-token span is removed, across AND within
+    docs; both the gated-broadcast and the join-based positions modes
+    produce identical output."""
+
+    def _docs(self):
+        passage = " ".join(f"dup{i}" for i in range(25))
+        return [
+            {"doc_id": 0, "text": "alpha beta " + passage + " gamma delta"},
+            {"doc_id": 1, "text": "one two three " + passage},
+            {"doc_id": 2, "text": passage + " tail token stream here"},
+            {"doc_id": 3, "text": " ".join(f"uniq{i}" for i in range(40))},
+            {"doc_id": 4, "text": "short doc"},
+            {"doc_id": 5, "text": " ".join(f"rep{i % 20}" for i in range(60))},
+        ]
+
+    def test_both_modes(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import exact_substring_dedup
+
+        docs = self._docs()
+        ds = rd.from_items(docs).repartition(3)
+        outs = {}
+        for mode in ("broadcast", "positions"):
+            out = (
+                exact_substring_dedup(ds, window=20, mode=mode)
+                .to_pandas()
+                .set_index("doc_id")
+                .sort_index()
+            )
+            # the shared 25-token passage is excised from all three
+            # hosts; surrounding text survives
+            assert out.loc[0, "text"] == "alpha beta gamma delta"
+            assert out.loc[1, "text"] == "one two three"
+            assert out.loc[2, "text"] == "tail token stream here"
+            assert out.loc[[0, 1, 2], "n_tokens_removed"].tolist() == [25] * 3
+            # unique / short docs untouched
+            assert out.loc[3, "text"] == docs[3]["text"]
+            assert out.loc[4, "text"] == docs[4]["text"]
+            assert out.loc[[3, 4], "n_tokens_removed"].tolist() == [0, 0]
+            # within-doc repetition: every window duplicated -> all
+            # 60 tokens covered (the every-occurrence semantics)
+            assert out.loc[5, "text"] == "" and out.loc[5, "n_tokens_removed"] == 60
+            outs[mode] = out
+        pd.testing.assert_frame_equal(outs["broadcast"], outs["positions"])
+
+    def test_overlapping_spans_interval_cover(self, ray_session):
+        """Two duplicated windows overlapping in one doc: covered
+        tokens count once (interval cover, not per-window sum)."""
+        import ray.data as rd
+
+        from jochre3_ocr_ray.ops.dedup import exact_substring_dedup
+
+        a = " ".join(f"x{i}" for i in range(12))   # 12 tokens, dup
+        b = " ".join(f"y{i}" for i in range(12))   # 12 tokens, dup
+        # doc 0 holds a then b overlapping via shared middle is not
+        # constructible with distinct tokens; instead: a and b are
+        # each duplicated, adjacent in doc 0 -> 24 removed, not 2x12
+        # from double-counted windows inside each passage
+        docs = [
+            {"doc_id": 0, "text": "pre " + a + " " + b + " post"},
+            {"doc_id": 1, "text": a},
+            {"doc_id": 2, "text": b},
+        ]
+        out = (
+            exact_substring_dedup(
+                rd.from_items(docs), window=12, mode="broadcast"
+            )
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert out.loc[0, "text"] == "pre post"
+        assert out.loc[0, "n_tokens_removed"] == 24
