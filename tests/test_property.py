@@ -192,3 +192,59 @@ def test_histogram_quantile_kernel_matches_numpy(values, q):
     got = grouped_quantiles_histogram(rd.from_pandas(df), "g", "v", [q])
     want = float(np.quantile(np.array(values, dtype=np.float64), q))
     assert got[("x", q)] == pytest.approx(want, rel=0, abs=max(1e-9, abs(want) * 1e-12))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(0, 200), min_size=0, max_size=40).map(sorted),
+    st.integers(1, 300),  # token count
+    st.integers(1, 30),   # window
+)
+def test_clip_dup_spans_accounting(raw_starts, n_tokens, window):
+    """_clip_dup_spans: removed count equals the interval-cover size,
+    output tokens are exactly the uncovered input tokens in order."""
+    import numpy as np
+
+    from jochre3_ocr_ray.ops.dedup import _clip_dup_spans
+
+    tokens = [f"t{i}" for i in range(n_tokens)]
+    starts = np.unique(
+        np.asarray([s for s in raw_starts if s < n_tokens], dtype=np.int64)
+    )
+    out, n_rm = _clip_dup_spans(" ".join(tokens), starts, window)
+    covered = set()
+    for s in starts:
+        covered.update(range(s, min(s + window, n_tokens)))
+    want = [t for i, t in enumerate(tokens) if i not in covered]
+    assert out.split() == want
+    assert n_rm == len(covered)
+    assert n_rm + len(out.split()) == n_tokens
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.integers(0, (1 << 61) - 1), min_size=1, max_size=500, unique=True
+    ),
+    st.lists(
+        st.integers(0, (1 << 61) - 1), min_size=0, max_size=500, unique=True
+    ),
+)
+def test_bloom_no_false_negatives(inserted, probed):
+    """Bloom filter: every inserted value tests positive for ANY value
+    distribution (adversarial low-entropy ints included)."""
+    import numpy as np
+
+    from jochre3_ocr_ray.ops.dedup import _bloom_build, _bloom_contains
+
+    ins = np.asarray(inserted, dtype=np.int64)
+    words, m, k = _bloom_build(ins)
+    assert _bloom_contains(words, m, k, ins).all()
+    absent = np.asarray(
+        [p for p in probed if p not in set(inserted)], dtype=np.int64
+    )
+    if absent.size:
+        # no correctness claim on FPs, only the documented direction:
+        # bloom hits are a superset of true membership
+        res = _bloom_contains(words, m, k, absent)
+        assert res.dtype == bool
