@@ -53,8 +53,10 @@ def _stable_hash(values) -> "pa.Array":
     import pandas as pd
 
     vals = values.to_numpy(zero_copy_only=False)
-    if vals.dtype == object:
-        vals = vals.astype(str)
+    if vals.dtype.kind in ("O", "U", "S"):
+        # pandas hash_array understands OBJECT string arrays, not
+        # numpy fixed-width unicode ('<U') — normalize to object
+        vals = np.asarray([str(v) for v in vals], dtype=object)
     h = pd.util.hash_array(vals, categorize=False)
     return pa.array(h.astype(np.uint64), type=pa.uint64())
 
@@ -105,15 +107,14 @@ def stratified_sample(
     partial keeps at most ``n_per_group`` rows per group it sees, so
     the groupby exchange moves O(blocks x groups x n) candidates, not
     the corpus."""
+    import numpy as np
     import pandas as pd
 
     def local_bottom(batch: pd.DataFrame) -> pd.DataFrame:
-        h = pd.util.hash_array(
-            batch[key_col].to_numpy()
-            if batch[key_col].dtype != object
-            else batch[key_col].astype(str).to_numpy(),
-            categorize=False,
-        )
+        vals = batch[key_col].to_numpy()
+        if vals.dtype.kind in ("O", "U", "S"):
+            vals = np.asarray([str(v) for v in vals], dtype=object)
+        h = pd.util.hash_array(vals, categorize=False)
         batch = batch.assign(_bk_hash=h)
         return (
             batch.sort_values("_bk_hash", kind="mergesort")
@@ -132,4 +133,32 @@ def stratified_sample(
         ds.map_batches(local_bottom, batch_format="pandas")
         .groupby(group_col)
         .map_groups(group_bottom, batch_format="pandas")
+    )
+
+
+def deterministic_shuffle(
+    ds: "ray.data.Dataset", key_col: str, salt: str = ""
+) -> "ray.data.Dataset":
+    """Reproducible global shuffle — the training-tape randomizer:
+    order rows by the stable hash of (salt + key). Unlike
+    ``Dataset.random_shuffle`` (whose layout depends on execution
+    nondeterminism), two runs — or a resume — produce the identical
+    tape, and ``salt`` gives a fresh epoch permutation. One
+    distributed sort on a uint64 column; no driver state."""
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if salt:
+            keys = pa.array(
+                [salt + str(v) for v in batch[key_col].to_pylist()],
+                type=pa.string(),
+            )
+            return batch.append_column("_shuf", _stable_hash(keys))
+        return batch.append_column("_shuf", _stable_hash(batch[key_col]))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .sort("_shuf")
+        .map_batches(
+            lambda b: b.drop_columns(["_shuf"]), batch_format="pyarrow"
+        )
     )

@@ -172,3 +172,46 @@ class TestFixedSizeSampling:
             rd.from_pandas(tiny), 5, "grp", "doc_id"
         ).to_pandas()
         assert len(out) == 3
+
+
+class TestDeterministicShuffle:
+    def test_permutation_reproducible_salted(self, ray_session):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.sources.sampling import deterministic_shuffle
+
+        df = pd.DataFrame({"doc_id": np.arange(500), "v": np.arange(500)})
+        ds = rd.from_pandas(df).repartition(8)
+        a = deterministic_shuffle(ds, "doc_id").to_pandas()
+        b = deterministic_shuffle(
+            rd.from_pandas(df).repartition(3), "doc_id"
+        ).to_pandas()
+        # a permutation (nothing lost), identical across partitionings
+        assert sorted(a["doc_id"]) == list(range(500))
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        # actually shuffled, and a salt gives a different epoch order
+        assert a["doc_id"].tolist() != list(range(500))
+        c = deterministic_shuffle(ds, "doc_id", salt="epoch1").to_pandas()
+        assert c["doc_id"].tolist() != a["doc_id"].tolist()
+        assert sorted(c["doc_id"]) == list(range(500))
+
+    def test_string_keys(self, ray_session):
+        """String key columns hash through the object-array path (a
+        numpy '<U' array would crash pandas hash_array)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from jochre3_ocr_ray.sources.sampling import (
+            bottom_k_sample,
+            deterministic_shuffle,
+        )
+
+        df = pd.DataFrame({"k": [f"doc-{i}" for i in range(300)]})
+        ds = rd.from_pandas(df).repartition(4)
+        a = deterministic_shuffle(ds, "k").to_pandas()
+        assert sorted(a["k"]) == sorted(df["k"])
+        assert a["k"].tolist() != sorted(df["k"])
+        s = bottom_k_sample(ds, 20, "k").to_pandas()
+        assert len(s) == 20 and set(s["k"]) <= set(df["k"])
