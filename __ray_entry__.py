@@ -72,18 +72,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_priority": relational.q_top_orders_per_priority,
         "events_corr": relational.q_events_corr,
         "events_pivot": relational.q_events_pivot,
-        # dedup family (§2.7 + training-data ops)
+        # dedup family (§2.7 + training-data ops); ngram+simhash are a
+        # tagged union (both kernels run — same consolidation shape as
+        # customers_semi_anti) so the surface fits the 50-slot window
         "dedup_exact": dedup.q_dedup_exact,
         "dedup_minhash": dedup.q_dedup_minhash,
-        "dedup_ngram": dedup.q_dedup_ngram,
-        "dedup_simhash": dedup.q_dedup_simhash,
+        "dedup_ngram_simhash": dedup.q_dedup_ngram_simhash,
+        "dedup_semantic": dedup.q_dedup_semantic,
+        "dedup_exact_substring": dedup.q_dedup_exact_substring,
         "embedding_near_dup": dedup.q_embedding_near_dup,
-        "embedding_near_dup_lsh": dedup.q_embedding_near_dup_lsh,
         "dedup_clusters": dedup.q_dedup_clusters,
         "decontaminate": dedup.q_decontaminate,
-        # similarity search
+        # similarity search; approx_accuracy = consolidated LSH-recall
+        # + IVF-recall invariant rows (both kernels run)
         "ann_cosine_topk": similarity.q_ann_cosine_topk,
-        "ann_ivf_topk": similarity.q_ann_ivf_topk,
+        "approx_accuracy": similarity.q_approx_accuracy,
         # text analysis — doc_profile is the fused one-scan composition
         # of token_count / token_count_bpe / quality_score / fingerprint
         # / langid / pii_scrub / repetition_stats (all still exposed
@@ -106,10 +109,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "glyph_eval": _corpus_prep().q_glyph_eval,
         # evaluation metrics (Evaluator analog)
         "eval_extraction": evaluation.q_eval_extraction,
-        # training-data curation pipeline (ops composed)
-        "curate_documents": _curate().q_curate_documents,
-        "curate_documents_near_dup": _curate().q_curate_documents_near_dup,
+        # training-data curation pipeline (ops composed);
+        # curate_documents = tagged union of the exact-dedup-only and
+        # near-dup-cluster-pruned variants (both run)
+        "curate_documents": _curate().q_curate_documents_all,
         "curate_training_chunks": _curate().q_curate_training_chunks,
+        # balanced per-(lang,source) training mix + deterministic tape
+        "balanced_mix": _curate().q_balanced_mix,
     }
 
 
@@ -150,14 +156,14 @@ def oracle_sql() -> dict[str, str]:
         "events_pivot": relational.Q_EVENTS_PIVOT_SQL,
         "dedup_exact": dedup.Q_DEDUP_EXACT_SQL,
         "dedup_minhash": dedup.Q_DEDUP_MINHASH_SQL,
-        "dedup_ngram": dedup.Q_DEDUP_NGRAM_SQL,
-        "dedup_simhash": dedup.Q_DEDUP_SIMHASH_SQL,
+        "dedup_ngram_simhash": dedup.Q_DEDUP_NGRAM_SIMHASH_SQL,
+        "dedup_semantic": dedup.Q_DEDUP_SEMANTIC_SQL,
+        "dedup_exact_substring": dedup.Q_DEDUP_EXACT_SUBSTRING_SQL,
         "dedup_clusters": dedup.Q_DEDUP_CLUSTERS_SQL,
         "decontaminate": dedup.Q_DECONTAMINATE_SQL,
         "embedding_near_dup": dedup.Q_EMBEDDING_NEAR_DUP_SQL,
-        "embedding_near_dup_lsh": dedup.Q_EMBEDDING_NEAR_DUP_LSH_SQL,
         "ann_cosine_topk": similarity.Q_ANN_COSINE_TOPK_SQL,
-        "ann_ivf_topk": similarity.Q_ANN_IVF_TOPK_SQL,
+        "approx_accuracy": similarity.Q_APPROX_ACCURACY_SQL,
         "doc_profile": textstats.Q_DOC_PROFILE_SQL,
         "chunk_documents": textstats.Q_CHUNK_DOCUMENTS_SQL,
         "tfidf_top_terms": textstats.Q_TFIDF_TOP_TERMS_SQL,
@@ -171,7 +177,7 @@ def oracle_sql() -> dict[str, str]:
         "rotation_annotations": _corpus_prep().Q_ROTATION_ANNOTATIONS_SQL,
         "glyph_eval": _corpus_prep().Q_GLYPH_EVAL_SQL,
         "eval_extraction": evaluation.Q_EVAL_EXTRACTION_SQL,
-        "curate_documents": _curate().Q_CURATE_DOCUMENTS_SQL,
-        "curate_documents_near_dup": _curate().Q_CURATE_DOCUMENTS_NEAR_DUP_SQL,
+        "curate_documents": _curate().Q_CURATE_DOCUMENTS_ALL_SQL,
         "curate_training_chunks": _curate().Q_CURATE_TRAINING_CHUNKS_SQL,
+        "balanced_mix": _curate().Q_BALANCED_MIX_SQL,
     }

@@ -1007,6 +1007,35 @@ WHERE bit_count(xor(a.sig, b.sig)) <= {max_hamming}
 Q_DEDUP_SIMHASH_SQL = _simhash_oracle_sql()
 
 
+def q_dedup_ngram_simhash(sf_dir: str) -> pa.Table:
+    """Consolidated driver entry: BOTH the exact n-gram Jaccard pair
+    kernel and the SimHash pair kernel run, tagged-unioned on a
+    common ``(mode, id_a, id_b, score)`` schema (jaccard / hamming
+    respectively) — the customers_semi_anti consolidation shape, so
+    the whole query surface stays inside the driver's 50-slot
+    correctness window. Each kernel keeps its own independent SQL
+    ground truth (shingle strings / recomputed md5 signatures)."""
+    ng = q_dedup_ngram(sf_dir).to_pandas()
+    sh = q_dedup_simhash(sf_dir).to_pandas()
+    ng = ng.rename(columns={"jaccard": "score"}).assign(mode="ngram")
+    sh = sh.assign(score=sh["hamming"].astype(float), mode="simhash").drop(
+        columns=["hamming"]
+    )
+    both = pd.concat([ng, sh], ignore_index=True)
+    return pa.Table.from_pandas(
+        both[["mode", "id_a", "id_b", "score"]], preserve_index=False
+    )
+
+
+Q_DEDUP_NGRAM_SIMHASH_SQL = f"""
+SELECT 'ngram' AS mode, id_a, id_b, jaccard AS score
+FROM ({TRUE_PAIRS_SQL}) ng
+UNION ALL
+SELECT 'simhash', id_a, id_b, CAST(hamming AS DOUBLE)
+FROM ({Q_DEDUP_SIMHASH_SQL}) sh
+"""
+
+
 # ------------------------------------------------- embedding cosine dedup
 EMBED_THRESHOLD = 0.9
 
@@ -1420,6 +1449,104 @@ def semantic_dedup(
     )
 
 
+SEMANTIC_Q_K = 8
+
+
+def q_dedup_semantic(
+    sf_dir: str, k: int = SEMANTIC_Q_K, threshold: float = EMBED_THRESHOLD
+) -> pa.Table:
+    """Driver entry for SemDeDup over the twin-augmented corpus (the
+    same plant as the LSH entry — the base testdata has zero pairs at
+    the threshold, which would make the check vacuous). Fixed seeds
+    (the k smallest-id vectors) and ``refine_iters=0`` keep the
+    cluster geometry SQL-recomputable; the k-means refinement job
+    itself (``similarity.kmeans_refine``) is pytest-pinned separately.
+
+    ``dup_sim`` is the row's max within-cluster cosine ECHOED ONLY
+    when it crosses the threshold (else -1.0): raw sub-threshold
+    cosines differ between numpy float64 and DuckDB's float32 list
+    kernel in the 4th decimal often enough to flake an exact hash
+    compare, while crossing rows are planted twins at cosine 1.0 with
+    a 0.49 margin — stable under both arithmetics."""
+    base = _read(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ds = _augment_with_twins(base)
+    df = _to_table(
+        semantic_dedup(
+            ds,
+            k=k,
+            threshold=threshold,
+            refine_iters=0,
+            vec_col="embedding",
+            id_col="vec_id",
+        )
+    ).to_pandas()
+    df["dup_sim"] = np.where(
+        df["max_sim"] >= threshold, np.round(df["max_sim"], 4), -1.0
+    )
+    return pa.Table.from_pandas(
+        df[["id", "cid", "keep", "rep_id", "dup_sim"]], preserve_index=False
+    )
+
+
+Q_DEDUP_SEMANTIC_SQL = f"""
+WITH RECURSIVE aug AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + {_LSH_PLANT_OFFSET}, embedding FROM embeddings
+  WHERE vec_id < {_LSH_PLANT_COUNT}
+),
+cents AS (
+  SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+  WHERE vec_id < {SEMANTIC_Q_K}
+),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT a.vec_id AS id, c.cid,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.vec_id
+             ORDER BY list_cosine_similarity(a.embedding, c.cvec) DESC, c.cid
+           ) AS rn
+    FROM aug a CROSS JOIN cents c
+  ) WHERE rn = 1
+),
+members AS (
+  SELECT s.id, s.cid, a.embedding
+  FROM assign s JOIN aug a ON a.vec_id = s.id
+),
+pairs AS (
+  SELECT a.id AS ia, b.id AS ib
+  FROM members a JOIN members b ON a.cid = b.cid AND a.id < b.id
+  WHERE list_cosine_similarity(a.embedding, b.embedding) >= {EMBED_THRESHOLD}
+),
+und AS (
+  SELECT ia AS a, ib AS b FROM pairs
+  UNION
+  SELECT ib, ia FROM pairs
+),
+reach(a, b) AS (
+  SELECT DISTINCT a, a FROM und
+  UNION
+  SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+),
+roots AS (SELECT a AS id, MIN(b) AS rep FROM reach GROUP BY a),
+msim AS (
+  SELECT a.id,
+         MAX(list_cosine_similarity(a.embedding, b.embedding)) AS max_sim
+  FROM members a JOIN members b ON a.cid = b.cid AND a.id <> b.id
+  GROUP BY a.id
+)
+SELECT m.id,
+       m.cid,
+       (COALESCE(r.rep, m.id) = m.id) AS keep,
+       COALESCE(r.rep, m.id) AS rep_id,
+       CASE WHEN COALESCE(ms.max_sim, 0.0) >= {EMBED_THRESHOLD}
+            THEN ROUND(ms.max_sim, 4) ELSE -1.0 END AS dup_sim
+FROM members m
+LEFT JOIN roots r ON r.id = m.id
+LEFT JOIN msim ms ON ms.id = m.id
+"""
+
+
 # ------------------------------------------------- exact-substring dedup
 EXACTSUBSTR_WINDOW = 50
 EXACTSUBSTR_BROADCAST_MAX_BYTES = 64 << 20
@@ -1648,6 +1775,83 @@ def exact_substring_dedup(
         )
 
     return joined.map_batches(clip_joined, batch_format="pyarrow")
+
+
+EXACTSUBSTR_Q_WINDOW = 8
+
+
+def q_dedup_exact_substring(
+    sf_dir: str, window: int = EXACTSUBSTR_Q_WINDOW
+) -> pa.Table:
+    """Driver entry for ExactSubstr dedup (broadcast mode; the
+    positions-mode equality is pytest-pinned). The q window is 8
+    tokens — the production default of {EXACTSUBSTR_WINDOW} (Lee et
+    al.'s 50-token analog) would be vacuous on this corpus's 10-99
+    token docs, while 8-token spans duplicated >= 2x exist via the
+    planted exact/near dups. The SQL oracle recomputes the semantics
+    from token STRINGS (windowed string_agg + global count + interval
+    cover), independent of the pipeline's 61-bit window hashes —
+    collision probability ~1e-13 at test scale, verified equal."""
+    ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
+    return _to_table(
+        exact_substring_dedup(ds, window=window, mode="broadcast")
+    )
+
+
+def _exact_substring_sql(window: int = EXACTSUBSTR_Q_WINDOW) -> str:
+    """Tokens keep original case for reconstruction (``text.split()``
+    twin); window keys lowercase (``_norm_tokens`` twin) — the same
+    case split the pipeline makes between detection and clipping."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(text), '\\s+')) AS tok,
+         generate_subscripts(string_split_regex(trim(text), '\\s+'), 1) - 1 AS pos
+  FROM documents
+  WHERE trim(text) <> ''
+),
+ntoks AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+wins AS (
+  SELECT doc_id, pos AS start,
+         string_agg(lower(tok), ' ') OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING
+         ) AS wkey
+  FROM toks
+),
+valid_wins AS (
+  SELECT w.doc_id, w.start, w.wkey
+  FROM wins w JOIN ntoks n ON w.doc_id = n.doc_id
+  WHERE w.start + {window} <= n.n
+),
+dup_keys AS (
+  SELECT wkey FROM valid_wins GROUP BY wkey HAVING COUNT(*) >= 2
+),
+dup_wins AS (
+  SELECT v.doc_id, v.start FROM valid_wins v JOIN dup_keys d USING (wkey)
+),
+cov AS (
+  SELECT DISTINCT t.doc_id, t.pos
+  FROM toks t JOIN dup_wins d
+    ON t.doc_id = d.doc_id
+   AND t.pos >= d.start AND t.pos < d.start + {window}
+),
+rebuilt AS (
+  SELECT t.doc_id,
+         COALESCE(string_agg(t.tok, ' ' ORDER BY t.pos)
+                    FILTER (WHERE c.pos IS NULL), '') AS text,
+         COUNT(c.pos) AS n_tokens_removed
+  FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.text, '') AS text,
+       COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""
+
+
+Q_DEDUP_EXACT_SUBSTRING_SQL = _exact_substring_sql()
 
 
 # ------------------------------------------------------- n-gram jaccard

@@ -269,3 +269,60 @@ Q_ANN_IVF_TOPK_SQL = f"""
 SELECT vec_id AS query_id, vec_id AS top1_vec_id, true AS recall_ok
 FROM embeddings WHERE vec_id < {N_QUERIES} ORDER BY query_id
 """
+
+
+def q_approx_accuracy(sf_dir: str) -> pa.Table:
+    """Consolidated driver entry for the two approximate-retrieval
+    accuracy checks — embedding-LSH near-dup recall and IVF top-k
+    recall — tagged-unioned on ``(component, key_id, metric, ok)`` so
+    the whole query surface fits the driver's 50-slot correctness
+    window (the customers_semi_anti consolidation shape). The LSH
+    row's ``metric`` is the exact pair count over the twin-augmented
+    corpus, which the SQL recomputes independently (the hard
+    cross-check); each IVF row echoes the query's rank-1 neighbour —
+    itself, by construction. Both checks judge against their exact
+    oracle-green twins; pair/rank LISTS stay available via
+    ``embedding_lsh_pairs`` / ``ivf_topk``."""
+    from .dedup import q_embedding_near_dup_lsh
+
+    lsh = q_embedding_near_dup_lsh(sf_dir).to_pandas()
+    ivf = q_ann_ivf_topk(sf_dir).to_pandas()
+    lsh_ok = bool(lsh["recall_ok"].iloc[0]) and (
+        int(lsh["n_false_positives"].iloc[0]) == 0
+    )
+    return pa.table(
+        {
+            "component": pa.array(
+                ["embedding_lsh"] + ["ann_ivf"] * len(ivf), type=pa.string()
+            ),
+            "key_id": pa.array(
+                [0] + ivf["query_id"].astype(int).tolist(), type=pa.int64()
+            ),
+            "metric": pa.array(
+                [int(lsh["n_true_pairs"].iloc[0])]
+                + ivf["top1_vec_id"].astype(int).tolist(),
+                type=pa.int64(),
+            ),
+            "ok": pa.array(
+                [lsh_ok] + ivf["recall_ok"].astype(bool).tolist(),
+                type=pa.bool_(),
+            ),
+        }
+    )
+
+
+def _approx_accuracy_sql() -> str:
+    from .dedup import Q_EMBEDDING_NEAR_DUP_LSH_SQL
+
+    return f"""
+SELECT 'embedding_lsh' AS component, CAST(0 AS BIGINT) AS key_id,
+       n_true_pairs AS metric,
+       (n_false_positives = 0 AND recall_ok) AS ok
+FROM ({Q_EMBEDDING_NEAR_DUP_LSH_SQL}) lsh
+UNION ALL
+SELECT 'ann_ivf', query_id, top1_vec_id, recall_ok
+FROM ({Q_ANN_IVF_TOPK_SQL}) ivf
+"""
+
+
+Q_APPROX_ACCURACY_SQL = _approx_accuracy_sql()

@@ -83,6 +83,7 @@ def balanced_training_mix(
     n_per_stratum: int = 25,
     min_tokens: int = MIN_TOKENS,
     min_alpha: float = MIN_ALPHA,
+    hash_fn: str = "siphash",
 ) -> "ray.data.Dataset":
     """Quality-filter -> exact-dedup -> BALANCED per-(lang, source)
     fixed-size sample — the data-mixing step of a training pipeline
@@ -90,7 +91,9 @@ def balanced_training_mix(
     corpus is). Sampling is the deterministic bottom-k hash sketch
     (``sources.sampling.stratified_sample``), so the mix is
     reproducible across runs, resumes and partitionings. Returns
-    kept rows ``(doc_id, lang, source, n_tokens)``."""
+    kept rows ``(doc_id, lang, source, n_tokens)``. ``hash_fn="md5"``
+    swaps the sampling key hash for the SQL-replicable one (the
+    driver-oracle path; siphash stays the scale default)."""
     from ..sources.sampling import stratified_sample
 
     ds = _read(sf_dir, "documents", columns=["doc_id", "text", "lang", "source"])
@@ -127,13 +130,98 @@ def balanced_training_mix(
 
     with_stratum = deduped.map_batches(add_stratum, batch_format="pyarrow")
     sampled = stratified_sample(
-        with_stratum, n_per_stratum, group_col="stratum", key_col="doc_id"
+        with_stratum,
+        n_per_stratum,
+        group_col="stratum",
+        key_col="doc_id",
+        hash_fn=hash_fn,
     )
 
     def project(batch: pa.Table) -> pa.Table:
         return batch.select(["doc_id", "lang", "source", "n_tokens"])
 
     return sampled.map_batches(project, batch_format="pyarrow")
+
+
+BALANCED_N_PER_STRATUM = 5
+
+
+def q_balanced_mix(
+    sf_dir: str, n_per_stratum: int = BALANCED_N_PER_STRATUM
+) -> pa.Table:
+    """Driver entry for the balanced training mix + the deterministic
+    training tape: quality filter -> exact dedup -> per-(lang, source)
+    bottom-k sample, then a ``tape_pos`` column giving each sampled
+    row's position in the epoch-salted deterministic shuffle
+    (``sources.sampling.deterministic_shuffle`` semantics: rank of the
+    salted key hash). Both the sample membership AND the permutation
+    use the SQL-replicable md5 key hash, so the oracle recomputes the
+    exact row set and the exact tape order. The tape rank here is
+    computed driver-side because the sampled mix is fixed-size-small
+    by construction (n_per_stratum x strata); the full-corpus tape is
+    ``deterministic_shuffle`` — one distributed sort, no driver
+    state."""
+    import numpy as np
+
+    from ..sources.sampling import _md5_hash64
+
+    tab = _to_table(
+        balanced_training_mix(
+            sf_dir, n_per_stratum=n_per_stratum, hash_fn="md5"
+        )
+    ).to_pandas()
+    h = _md5_hash64(tab["doc_id"].to_numpy(), salt="tape:")
+    tab = (
+        tab.assign(_h=h)
+        .sort_values(["_h", "doc_id"])
+        .reset_index(drop=True)
+        .drop(columns=["_h"])
+    )
+    tab["tape_pos"] = np.arange(len(tab), dtype=np.int64)
+    return pa.Table.from_pandas(tab, preserve_index=False)
+
+
+Q_BALANCED_MIX_SQL = f"""
+WITH stats AS (
+  SELECT doc_id, text, lang, source,
+         CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+              ELSE ARRAY_LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+'))
+         END AS n_tokens,
+         LENGTH(REGEXP_REPLACE(text, '[^A-Za-z]', '', 'g'))
+           / GREATEST(LENGTH(text), 1.0) AS alpha_ratio
+  FROM documents
+),
+filtered AS (
+  SELECT * FROM stats
+  WHERE n_tokens >= {MIN_TOKENS} AND alpha_ratio >= {MIN_ALPHA}
+),
+keepers AS (
+  SELECT MIN(doc_id) AS doc_id FROM filtered GROUP BY text
+),
+deduped AS (
+  SELECT f.doc_id, f.lang, f.source, f.n_tokens
+  FROM filtered f JOIN keepers k ON f.doc_id = k.doc_id
+),
+ranked AS (
+  SELECT doc_id, lang, source, n_tokens,
+         ROW_NUMBER() OVER (
+           PARTITION BY lang, source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                    doc_id
+         ) AS rn
+  FROM deduped
+),
+sampled AS (
+  SELECT doc_id, lang, source, n_tokens FROM ranked
+  WHERE rn <= {BALANCED_N_PER_STRATUM}
+)
+SELECT doc_id, lang, source, n_tokens,
+       ROW_NUMBER() OVER (
+         ORDER BY ('0x' || substr(md5('tape:' || CAST(doc_id AS VARCHAR)), 1, 16))::UBIGINT,
+                  doc_id
+       ) - 1 AS tape_pos
+FROM sampled
+"""
 
 
 def q_curate_documents(sf_dir: str) -> pa.Table:
@@ -258,6 +346,33 @@ WHERE doc_id = keeper
 
 
 Q_CURATE_DOCUMENTS_NEAR_DUP_SQL = _curate_near_dup_sql()
+
+
+def q_curate_documents_all(sf_dir: str) -> pa.Table:
+    """Consolidated driver entry: BOTH curation variants run —
+    exact-dedup-only and exact+near-dup-cluster pruning — tagged-
+    unioned on ``(mode, doc_id, n_tokens, alpha_ratio)`` so the whole
+    query surface fits the driver's 50-slot correctness window (the
+    customers_semi_anti consolidation shape). Each variant keeps its
+    own independent SQL ground truth."""
+    ex = q_curate_documents(sf_dir).to_pandas().assign(mode="exact")
+    nd = q_curate_documents_near_dup(sf_dir).to_pandas().assign(
+        mode="near_dup"
+    )
+    both = pd.concat([ex, nd], ignore_index=True)
+    return pa.Table.from_pandas(
+        both[["mode", "doc_id", "n_tokens", "alpha_ratio"]],
+        preserve_index=False,
+    )
+
+
+Q_CURATE_DOCUMENTS_ALL_SQL = f"""
+SELECT 'exact' AS mode, doc_id, n_tokens, alpha_ratio
+FROM ({Q_CURATE_DOCUMENTS_SQL}) ex
+UNION ALL
+SELECT 'near_dup', doc_id, n_tokens, alpha_ratio
+FROM ({Q_CURATE_DOCUMENTS_NEAR_DUP_SQL}) nd
+"""
 
 
 # ------------------------------------------- full training-data pipeline

@@ -61,6 +61,45 @@ def _stable_hash(values) -> "pa.Array":
     return pa.array(h.astype(np.uint64), type=pa.uint64())
 
 
+def _md5_hash64(values, salt: str = "") -> "np.ndarray":
+    """SQL-replicable 64-bit key hash: the first 16 hex chars of
+    ``md5(salt + str(v))`` — DuckDB recomputes it bit-for-bit as
+    ``('0x' || substr(md5(salt || CAST(v AS VARCHAR)), 1, 16))::UBIGINT``,
+    so sampling/shuffle membership built on it is oracle-checkable.
+    Slower than the siphash default (one C md5 per row) — the q_/test
+    layer opts in; scale callers keep siphash."""
+    import hashlib
+
+    import numpy as np
+
+    md5 = hashlib.md5
+    pre = salt.encode()
+    return np.fromiter(
+        (
+            int.from_bytes(md5(pre + str(v).encode()).digest()[:8], "big")
+            for v in values
+        ),
+        dtype=np.uint64,
+        count=len(values),
+    )
+
+
+def _key_hash(values, hash_fn: str, salt: str = "") -> "pa.Array":
+    """Dispatch: ``"siphash"`` (vectorized default) or ``"md5"``
+    (SQL-replicable). ``values`` is an Arrow array or numpy/iterable."""
+    if hash_fn == "md5":
+        vals = (
+            values.to_pylist() if hasattr(values, "to_pylist") else list(values)
+        )
+        return pa.array(_md5_hash64(vals, salt), type=pa.uint64())
+    if salt:
+        keys = pa.array(
+            [salt + str(v) for v in values.to_pylist()], type=pa.string()
+        )
+        return _stable_hash(keys)
+    return _stable_hash(values)
+
+
 def bottom_k_sample(
     ds: "ray.data.Dataset", n: int, key_col: str
 ) -> "ray.data.Dataset":
@@ -99,32 +138,41 @@ def bottom_k_sample(
 
 
 def stratified_sample(
-    ds: "ray.data.Dataset", n_per_group: int, group_col: str, key_col: str
+    ds: "ray.data.Dataset",
+    n_per_group: int,
+    group_col: str,
+    key_col: str,
+    hash_fn: str = "siphash",
 ) -> "ray.data.Dataset":
     """Deterministic bottom-k sample WITHIN each group — per-class
     balancing for training mixes (n examples per language / source /
     label). Same hash sketch as :func:`bottom_k_sample`; the per-batch
     partial keeps at most ``n_per_group`` rows per group it sees, so
     the groupby exchange moves O(blocks x groups x n) candidates, not
-    the corpus."""
+    the corpus. ``hash_fn="md5"`` swaps in the SQL-replicable key hash
+    (:func:`_md5_hash64`) so membership is oracle-checkable; ties
+    break on the key itself either way."""
     import numpy as np
     import pandas as pd
 
     def local_bottom(batch: pd.DataFrame) -> pd.DataFrame:
         vals = batch[key_col].to_numpy()
-        if vals.dtype.kind in ("O", "U", "S"):
-            vals = np.asarray([str(v) for v in vals], dtype=object)
-        h = pd.util.hash_array(vals, categorize=False)
+        if hash_fn == "md5":
+            h = _md5_hash64(vals)
+        else:
+            if vals.dtype.kind in ("O", "U", "S"):
+                vals = np.asarray([str(v) for v in vals], dtype=object)
+            h = pd.util.hash_array(vals, categorize=False)
         batch = batch.assign(_bk_hash=h)
         return (
-            batch.sort_values("_bk_hash", kind="mergesort")
+            batch.sort_values(["_bk_hash", key_col], kind="mergesort")
             .groupby(group_col, sort=False)
             .head(n_per_group)
         )
 
     def group_bottom(group: pd.DataFrame) -> pd.DataFrame:
         return (
-            group.sort_values("_bk_hash", kind="mergesort")
+            group.sort_values(["_bk_hash", key_col], kind="mergesort")
             .head(n_per_group)
             .drop(columns=["_bk_hash"])
         )
@@ -137,23 +185,24 @@ def stratified_sample(
 
 
 def deterministic_shuffle(
-    ds: "ray.data.Dataset", key_col: str, salt: str = ""
+    ds: "ray.data.Dataset",
+    key_col: str,
+    salt: str = "",
+    hash_fn: str = "siphash",
 ) -> "ray.data.Dataset":
     """Reproducible global shuffle — the training-tape randomizer:
     order rows by the stable hash of (salt + key). Unlike
     ``Dataset.random_shuffle`` (whose layout depends on execution
     nondeterminism), two runs — or a resume — produce the identical
     tape, and ``salt`` gives a fresh epoch permutation. One
-    distributed sort on a uint64 column; no driver state."""
+    distributed sort on a uint64 column; no driver state.
+    ``hash_fn="md5"`` makes the permutation SQL-replicable (see
+    :func:`_md5_hash64`)."""
 
     def tag(batch: pa.Table) -> pa.Table:
-        if salt:
-            keys = pa.array(
-                [salt + str(v) for v in batch[key_col].to_pylist()],
-                type=pa.string(),
-            )
-            return batch.append_column("_shuf", _stable_hash(keys))
-        return batch.append_column("_shuf", _stable_hash(batch[key_col]))
+        return batch.append_column(
+            "_shuf", _key_hash(batch[key_col], hash_fn, salt)
+        )
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")
