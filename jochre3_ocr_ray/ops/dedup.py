@@ -1378,7 +1378,22 @@ def semantic_dedup(
 
         cand = _to_table(
             ds.map_batches(seed_partial, batch_format="pandas")
-        ).to_pandas().nsmallest(k, id_col)
+        ).to_pandas()
+        if cand.empty:
+            # empty corpus: typed empty result (the schema can't form
+            # through empty map stages)
+            return ray.data.from_arrow(
+                pa.table(
+                    {
+                        "id": pa.array([], type=pa.int64()),
+                        "cid": pa.array([], type=pa.int64()),
+                        "keep": pa.array([], type=pa.bool_()),
+                        "rep_id": pa.array([], type=pa.int64()),
+                        "max_sim": pa.array([], type=pa.float64()),
+                    }
+                )
+            )
+        cand = cand.nsmallest(k, id_col)
         centroids = _normalize(
             np.stack(cand[vec_col].to_numpy()).astype(np.float64)
         )
@@ -1598,6 +1613,10 @@ def duplicated_window_hashes(
     counts = ds.map_batches(partial, batch_format="pyarrow")
 
     def dups_only(part: pa.Table) -> pa.Table:
+        if "h" not in part.column_names:
+            # a fully-empty corpus: map_batches passed the empty input
+            # block through untagged, so the partial schema never formed
+            return pa.table({"h": pa.array([], type=pa.int64())})
         h = part["h"].to_numpy(zero_copy_only=False)
         c = part["cnt"].to_numpy(zero_copy_only=False)
         order = np.argsort(h, kind="stable")
@@ -1809,9 +1828,17 @@ def q_dedup_exact_substring(
     cover), independent of the pipeline's 61-bit window hashes —
     collision probability ~1e-13 at test scale, verified equal."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    return _to_table(
-        exact_substring_dedup(ds, window=window, mode="broadcast")
-    )
+    out = _to_table(exact_substring_dedup(ds, window=window, mode="broadcast"))
+    if out.num_columns == 0:
+        # empty corpus: the schema can't form through empty map stages
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "text": pa.array([], type=pa.string()),
+                "n_tokens_removed": pa.array([], type=pa.int64()),
+            }
+        )
+    return out
 
 
 def _exact_substring_sql(window: int = EXACTSUBSTR_Q_WINDOW) -> str:

@@ -170,6 +170,18 @@ def q_balanced_mix(
             sf_dir, n_per_stratum=n_per_stratum, hash_fn="md5"
         )
     ).to_pandas()
+    if tab.empty:
+        # everything quality-filtered away: a typed empty mix (the
+        # schema can't be recovered from the empty map_groups output)
+        return pa.table(
+            {
+                "doc_id": pa.array([], type=pa.int64()),
+                "lang": pa.array([], type=pa.string()),
+                "source": pa.array([], type=pa.string()),
+                "n_tokens": pa.array([], type=pa.int64()),
+                "tape_pos": pa.array([], type=pa.int64()),
+            }
+        )
     h = _md5_hash64(tab["doc_id"].to_numpy(), salt="tape:")
     tab = (
         tab.assign(_h=h)

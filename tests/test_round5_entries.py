@@ -228,6 +228,78 @@ class TestConsolidatedEntries:
         assert 0 < n_nd <= n_ex
 
 
+class TestDegenerateCorpora:
+    """Typed-empty schemas survive corpora where every map stage sees
+    only empty blocks (Ray passes them through schema-less)."""
+
+    @staticmethod
+    def _write_docs(path, texts):
+        n = len(texts)
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(n), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(["en"] * n, type=pa.string()),
+                    "source": pa.array(["s0"] * n, type=pa.string()),
+                }
+            ),
+            f"{path}/documents.parquet",
+        )
+
+    def test_exact_substring_empty_and_ws(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import q_dedup_exact_substring
+
+        empty = tmp_path / "empty"
+        empty.mkdir()
+        self._write_docs(empty, [])
+        t = q_dedup_exact_substring(str(empty))
+        assert t.num_rows == 0
+        assert t.column_names == ["doc_id", "text", "n_tokens_removed"]
+
+        ws = tmp_path / "ws"
+        ws.mkdir()
+        self._write_docs(ws, ["   ", "", "\t\n"])
+        t = q_dedup_exact_substring(str(ws)).to_pandas()
+        assert (t["text"] == "").all()
+        assert (t["n_tokens_removed"] == 0).all()
+
+    def test_balanced_mix_all_filtered(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.pipelines.curate import q_balanced_mix
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        # every doc under MIN_TOKENS -> sample is empty but typed
+        self._write_docs(sf, ["too short", "also short", ""])
+        t = q_balanced_mix(str(sf))
+        assert t.num_rows == 0
+        assert t.column_names == [
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            "tape_pos",
+        ]
+
+    def test_semantic_empty_embeddings(self, ray_session, tmp_path):
+        from jochre3_ocr_ray.ops.dedup import q_dedup_semantic
+
+        sf = tmp_path / "sf"
+        sf.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32())),
+                }
+            ),
+            sf / "embeddings.parquet",
+        )
+        t = q_dedup_semantic(str(sf))
+        assert t.num_rows == 0
+        assert t.column_names == ["id", "cid", "keep", "rep_id", "dup_sim"]
+
+
 class TestDriverSurface:
     def test_fifty_entries_all_oracled(self):
         import sys
