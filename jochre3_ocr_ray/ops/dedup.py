@@ -757,9 +757,16 @@ def ngram_exact_pairs_counted(
     (the verify loop was ~100us of pandas overhead per candidate pair;
     this is a group-size count). ``ngram_exact_pairs`` (join-back)
     remains for when downstream needs the shingle sets themselves.
-    ``max_df`` defaults to None (exact, recall 1); pass "auto" with
-    ``n_docs`` to opt into the corpus-scaled stop-shingle guard (see
-    ``_resolve_max_df``); dropped buckets are logged."""
+
+    ``max_df`` defaults to None (exact, recall 1). CAUTION on the
+    guard: because the intersection IS the surviving-bucket count, a
+    cap does not merely skip the dropped buckets' candidate pairs —
+    it UNDERCOUNTS J for every pair that shares a dropped bucket
+    (precision stays 1, recall drops; on a corpus whose near-dup
+    shingles are all hot the guard can zero the output — seen at
+    sf0.1). Opt into "auto"/int only where that recall trade is
+    acceptable; for recall-controlled approximation at scale use
+    MinHash LSH instead. Dropped buckets are logged."""
     import pandas as pd
 
     max_df = _resolve_max_df(max_df, n_docs)
@@ -855,15 +862,21 @@ def ngram_exact_pairs_counted(
 
 def q_dedup_ngram(sf_dir: str, threshold: float = JACCARD_THRESHOLD) -> pa.Table:
     """Exact n-gram Jaccard near-dup pairs (recall 1) via the counted
-    inverted index; same oracle as ``q_dedup_minhash``."""
+    inverted index; same oracle as ``q_dedup_minhash``.
+
+    ``max_df=None`` here is CORRECTNESS, not a default of convenience:
+    the counted kernel derives the intersection as the number of
+    SURVIVING shared buckets, so a hot-shingle cap silently
+    undercounts J for every pair that shares a dropped bucket —
+    observed at sf0.1, where every planted pair's shingles sit in
+    >256-df buckets and ``max_df="auto"`` returned 0 of the 256 true
+    pairs (sf0.01 has no bucket over the cap, which hid it). Scale
+    callers who need the guard get a documented recall trade
+    (precision stays 1 — J only undercounts); MinHash LSH is the
+    recall-controlled alternative at web scale."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
-    # metadata-only row count (parquet footers) feeds the auto max_df
     return _round(
-        _to_table(
-            ngram_exact_pairs_counted(
-                ds, threshold, max_df="auto", n_docs=ds.count()
-            )
-        ),
+        _to_table(ngram_exact_pairs_counted(ds, threshold, max_df=None)),
         {"jaccard": 4},
     )
 

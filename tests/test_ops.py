@@ -433,11 +433,12 @@ class TestHistogramQuantiles:
 class TestNgramMaxDfGuard:
     def test_hot_shingle_dropped_near_dups_kept(self, ray_session, tmp_path):
         """A stop shingle shared by hundreds of docs must not generate
-        O(m^2) candidate pairs under the max_df guard (opted into by
-        the q_/CLI layer via 'auto'; the library default is
-        max_df=None, i.e. exact), while near-dups sharing RARE
-        shingles are still found; with max_df=None the common-shingle
-        pair reappears (exactness)."""
+        O(m^2) candidate pairs under the max_df guard (an explicit
+        recall-trading opt-in: the counted kernel's J UNDERCOUNTS for
+        pairs sharing a dropped bucket, so both the library default
+        AND the q_ layer stay max_df=None — exact), while near-dups
+        sharing RARE shingles are still found; with max_df=None the
+        common-shingle pair reappears (exactness)."""
         import pyarrow as pa
         import pyarrow.parquet as pq
         import ray.data as rd

@@ -186,6 +186,26 @@ class TestMd5KeyHash:
         assert got != list(range(200))  # actually permuted
 
 
+class TestNgramSf01Regression:
+    def test_ngram_equals_minhash_at_sf01(self, ray_session):
+        """The sf0.1 blind spot that hid the counted-kernel max_df bug:
+        the driver gate runs at sf0.01, where no shingle bucket crosses
+        the auto cap — at sf0.1 every planted pair's shingles are hot
+        and max_df='auto' silently returned 0/256 pairs (J undercounted
+        by the dropped buckets). Pin the exact config against the
+        independent MinHash+verify path at sf0.1 (both exact on this
+        corpus; no O(N^2) SQL needed)."""
+        from jochre3_ocr_ray.ops.dedup import q_dedup_minhash, q_dedup_ngram
+
+        sf = "/root/testdata/sf0.1"
+        ng = q_dedup_ngram(sf).to_pandas()
+        mh = q_dedup_minhash(sf).to_pandas()
+        ng_pairs = {(int(a), int(b)) for a, b in zip(ng.id_a, ng.id_b)}
+        mh_pairs = {(int(a), int(b)) for a, b in zip(mh.id_a, mh.id_b)}
+        assert len(ng_pairs) > 0
+        assert ng_pairs == mh_pairs
+
+
 class TestConsolidatedEntries:
     def test_ngram_simhash_union(self, ray_session):
         from jochre3_ocr_ray.ops.dedup import (
