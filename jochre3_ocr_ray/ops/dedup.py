@@ -561,6 +561,19 @@ def _resolve_max_df(max_df, n_docs: "int | None") -> "int | None":
     return max(NGRAM_AUTO_MAX_DF_FLOOR, (n_docs or 0) // 100)
 
 
+_POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized popcount of a contiguous uint64 array (byte-view +
+    8-bit lookup table)."""
+    if x.size == 0:
+        return np.empty(0, dtype=np.int64)
+    return (
+        _POP8[x.view(np.uint8).reshape(x.size, 8)].sum(axis=1).astype(np.int64)
+    )
+
+
 def _mix_pair(a: "np.ndarray", b: "np.ndarray") -> "np.ndarray":
     """Vectorized uint64 mix of a pair identity — the partition key
     for pair-keyed exchanges (a function of (a, b) only, so all rows
@@ -983,50 +996,110 @@ def q_dedup_simhash(
     bucket recall is 1 and the output is precisely *all* pairs with
     Hamming(sig_a, sig_b) <= d — which the generated SQL oracle
     recomputes from scratch (md5 token hashes -> per-bit majority ->
-    pairwise ``bit_count(xor(...))``)."""
+    pairwise ``bit_count(xor(...))``).
+
+    Both exchanges (segment buckets, pair dedup) ride the raw-task
+    ``_exchange``; in-bucket pair generation is batched by bucket
+    size with a table-lookup popcount — the same shape as
+    ``ngram_exact_pairs_counted``."""
     ds = _read(sf_dir, "documents", columns=["doc_id", "text"])
 
     def sign(batch: pa.Table) -> pa.Table:
         sigs = [_simhash(t) for t in batch["text"].to_pylist()]
-        rows = {"doc_id": [], "segment": [], "sig": []}
+        rows = {"doc_id": [], "seg": [], "sig": []}
         for doc_id, sig in zip(batch["doc_id"].to_pylist(), sigs):
             if sig is None:  # token-less doc: excluded from pairing
                 continue
             for seg in range(4):
                 rows["doc_id"].append(doc_id)
-                rows["segment"].append(f"{seg}:{(sig >> (seg * 16)) & 0xFFFF}")
+                # numeric segment key: (segment index << 16) | segment bits
+                rows["seg"].append((seg << 16) | ((sig >> (seg * 16)) & 0xFFFF))
                 rows["sig"].append(sig)
         return pa.table(
             {
                 "doc_id": pa.array(rows["doc_id"], type=pa.int64()),
-                "segment": pa.array(rows["segment"]),
-                "sig": pa.array(np.array(rows["sig"], dtype=np.uint64)),
+                "seg": pa.array(rows["seg"], type=pa.int64()),
+                "sig": pa.array(
+                    np.array(rows["sig"], dtype=np.uint64).astype(np.int64)
+                ),
             }
         )
 
     banded = ds.map_batches(sign, batch_format="pyarrow", batch_size=4096)
 
-    def bucket_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        part = part[part.duplicated("segment", keep=False)]
-        out = []
-        for _, group in part.groupby("segment", sort=False):
-            rows = group.drop_duplicates("doc_id").sort_values("doc_id")
-            ids = rows["doc_id"].to_numpy()
-            sigs = rows["sig"].to_numpy(dtype=np.uint64)
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    ham = int(bin(int(sigs[i]) ^ int(sigs[j])).count("1"))
-                    if ham <= max_hamming:
-                        out.append((int(ids[i]), int(ids[j]), ham))
-        return pd.DataFrame(out, columns=["id_a", "id_b", "hamming"]).astype("int64")
-
-    pairs = partitioned_apply(banded, ["segment"], bucket_pairs)
-    return _to_table(
-        partitioned_apply(
-            pairs, ["id_a", "id_b"],
-            lambda part: part.drop_duplicates(["id_a", "id_b"]),
-        )
+    _EMPTY = pa.table(
+        {
+            "id_a": pa.array([], type=pa.int64()),
+            "id_b": pa.array([], type=pa.int64()),
+            "hamming": pa.array([], type=pa.int64()),
+            "pk": pa.array([], type=pa.int64()),
+        }
     )
+
+    def bucket_pairs(part: pa.Table) -> pa.Table:
+        if part.num_rows == 0 or "seg" not in part.column_names:
+            return _EMPTY
+        df = (
+            part.to_pandas()
+            .drop_duplicates(["seg", "doc_id"])
+            .sort_values(["seg", "doc_id"], kind="mergesort")
+        )
+        seg = df["seg"].to_numpy()
+        ids = df["doc_id"].to_numpy()
+        sigs = df["sig"].to_numpy().astype(np.uint64)
+        _, start, cnt = np.unique(seg, return_index=True, return_counts=True)
+        out_a, out_b, out_h = [], [], []
+        for m in np.unique(cnt):
+            if m < 2:
+                continue
+            idx = start[cnt == m][:, None] + np.arange(m)[None, :]
+            gid, gs = ids[idx], sigs[idx]
+            ii, jj = np.triu_indices(int(m), k=1)
+            x = np.ascontiguousarray(gs[:, ii].ravel() ^ gs[:, jj].ravel())
+            ham = _popcount64(x)
+            keep = ham <= max_hamming
+            out_a.append(gid[:, ii].ravel()[keep])
+            out_b.append(gid[:, jj].ravel()[keep])
+            out_h.append(ham[keep])
+        if not out_a:
+            return _EMPTY
+        id_a = np.concatenate(out_a)
+        id_b = np.concatenate(out_b)
+        pk = (_mix_pair(id_a, id_b) & np.uint64((1 << 62) - 1)).astype(np.int64)
+        return pa.table(
+            {
+                "id_a": pa.array(id_a),
+                "id_b": pa.array(id_b),
+                "hamming": pa.array(np.concatenate(out_h)),
+                "pk": pa.array(pk),
+            }
+        )
+
+    def dedup_pairs(part: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], type=pa.int64()),
+                "id_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        if part.num_rows == 0 or "id_a" not in part.column_names:
+            return empty
+        out = part.to_pandas().drop_duplicates(["id_a", "id_b"])
+        return pa.Table.from_pandas(
+            out[["id_a", "id_b", "hamming"]].astype("int64"),
+            preserve_index=False,
+        )
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:  # noqa: BLE001
+        cpus = 8
+    nparts = max(2, cpus // 2)
+    refs = banded.materialize().to_arrow_refs()
+    pair_refs = _exchange(refs, "seg", nparts, bucket_pairs)
+    final_refs = _exchange(pair_refs, "pk", nparts, dedup_pairs)
+    return _to_table(ray.data.from_arrow_refs(final_refs))
 
 
 def _simhash_oracle_sql(max_hamming: int = SIMHASH_MAX_HAMMING) -> str:
