@@ -52,10 +52,12 @@ QUERY_NAMES = [
     "decontaminate",
     "pack_sequences",
     "media_pipeline",
-    # round-5 additions: SemDeDup, ExactSubstr, balanced mix + tape
+    # round-5 additions: SemDeDup, ExactSubstr, balanced mix + tape,
+    # and the consolidated ngram+simhash pair kernels
     "dedup_semantic",
     "dedup_exact_substring",
     "balanced_mix",
+    "dedup_ngram_simhash",
     # glyph_stats excluded: the opt-in glyph granularity is a
     # correctness surface (oracle-checked by the driver), not a perf
     # path - its nested per-char structs cost ~8ms/turn by design
