@@ -215,3 +215,33 @@ class TestDeterministicShuffle:
         assert a["k"].tolist() != sorted(df["k"])
         s = bottom_k_sample(ds, 20, "k").to_pandas()
         assert len(s) == 20 and set(s["k"]) <= set(df["k"])
+
+
+class TestPairExchangeHelpers:
+    def test_popcount64_matches_bit_count(self):
+        import numpy as np
+
+        from jochre3_ocr_ray.ops.dedup import _popcount64
+
+        rng = np.random.default_rng(5)
+        x = rng.integers(0, 2**63, size=1000, dtype=np.int64).astype(np.uint64)
+        x[:4] = [0, 1, 0xFFFFFFFFFFFFFFFF, 0x8000000000000000]
+        got = _popcount64(np.ascontiguousarray(x))
+        want = [int(v).bit_count() for v in x.tolist()]
+        assert got.tolist() == want
+        assert _popcount64(np.empty(0, dtype=np.uint64)).size == 0
+
+    def test_mix_pair_is_pair_function(self):
+        """The pair partition key depends only on (a, b) — the same
+        pair surfacing from different shingle buckets co-locates."""
+        import numpy as np
+
+        from jochre3_ocr_ray.ops.dedup import _mix_pair
+
+        a = np.array([1, 1, 7, 2**40], dtype=np.int64)
+        b = np.array([2, 2, 9, 2**41], dtype=np.int64)
+        h1 = _mix_pair(a, b)
+        h2 = _mix_pair(a.copy(), b.copy())
+        assert (h1 == h2).all()
+        assert h1[0] == h1[1]          # identical pairs agree
+        assert len(set(h1.tolist())) == 3  # distinct pairs spread
