@@ -1148,9 +1148,17 @@ def q_dedup_ngram_simhash(sf_dir: str) -> pa.Table:
     respectively) — the customers_semi_anti consolidation shape, so
     the whole query surface stays inside the driver's 50-slot
     correctness window. Each kernel keeps its own independent SQL
-    ground truth (shingle strings / recomputed md5 signatures)."""
-    ng = q_dedup_ngram(sf_dir).to_pandas()
-    sh = q_dedup_simhash(sf_dir).to_pandas()
+    ground truth (shingle strings / recomputed md5 signatures). The
+    two kernels are independent Dataset pipelines, so they execute
+    CONCURRENTLY (two driver threads; Ray schedules both DAGs onto
+    the same pool) — the union costs max(kernels), not their sum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(2) as pool:
+        f_ng = pool.submit(q_dedup_ngram, sf_dir)
+        f_sh = pool.submit(q_dedup_simhash, sf_dir)
+        ng = f_ng.result().to_pandas()
+        sh = f_sh.result().to_pandas()
     ng = ng.rename(columns={"jaccard": "score"}).assign(mode="ngram")
     sh = sh.assign(score=sh["hamming"].astype(float), mode="simhash").drop(
         columns=["hamming"]
