@@ -361,21 +361,67 @@ Q_CURATE_DOCUMENTS_NEAR_DUP_SQL = _curate_near_dup_sql()
 
 
 def q_curate_documents_all(sf_dir: str) -> pa.Table:
-    """Consolidated driver entry: BOTH curation variants run —
-    exact-dedup-only and exact+near-dup-cluster pruning — tagged-
-    unioned on ``(mode, doc_id, n_tokens, alpha_ratio)`` so the whole
-    query surface fits the driver's 50-slot correctness window (the
+    """Consolidated driver entry: BOTH curation variants — exact-dedup
+    -only and exact+near-dup-cluster pruning — tagged-unioned on
+    ``(mode, doc_id, n_tokens, alpha_ratio)`` so the whole query
+    surface fits the driver's 50-slot correctness window (the
     customers_semi_anti consolidation shape). Each variant keeps its
-    own independent SQL ground truth."""
-    ex = q_curate_documents(sf_dir).to_pandas().assign(mode="exact")
-    nd = q_curate_documents_near_dup(sf_dir).to_pandas().assign(
-        mode="near_dup"
+    own independent SQL ground truth.
+
+    Fused execution: the curated corpus streams ONCE through one
+    cluster-tagging pass, and a single map emits the exact rows plus
+    the pruned near-dup rows (the standalone ``q_curate_documents`` /
+    ``q_curate_documents_near_dup`` would run the curation stream
+    twice; their outputs are equality-pinned against this fusion in
+    TestConsolidatedEntries). The corpus never materializes — only
+    the tiny CLUSTERED subset comes to the driver to pick keepers,
+    exactly as in the standalone near-dup variant."""
+    import ray
+
+    from ..ops.dedup import q_dedup_clusters
+
+    clusters = q_dedup_clusters(sf_dir).to_pandas()
+    cluster_map = dict(
+        zip(clusters["doc_id"].astype(int), clusters["cluster_id"].astype(int))
     )
-    both = pd.concat([ex, nd], ignore_index=True)
-    return pa.Table.from_pandas(
-        both[["mode", "doc_id", "n_tokens", "alpha_ratio"]],
-        preserve_index=False,
+    map_ref = ray.put(cluster_map)
+
+    kept = curated_dataset(sf_dir)
+
+    def tag(batch: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(map_ref)
+        batch = batch.copy()
+        batch["cluster_id"] = [m.get(int(d), -1) for d in batch["doc_id"]]
+        return batch
+
+    tagged = kept.map_batches(tag, batch_format="pandas")
+    clustered = _to_table(
+        tagged.map_batches(
+            lambda b: b[b["cluster_id"] >= 0], batch_format="pandas"
+        )
+    ).to_pandas()
+    if len(clustered):
+        keepers = set(
+            clustered.groupby("cluster_id")["doc_id"].min().astype(int)
+        )
+    else:
+        keepers = set()
+    keep_ref = ray.put(keepers)
+
+    cols = ["doc_id", "n_tokens", "alpha_ratio"]
+
+    def emit_both(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        exact = batch[cols].assign(mode="exact")
+        mask = (batch["cluster_id"] < 0) | batch["doc_id"].isin(ks)
+        nd = batch.loc[mask, cols].assign(mode="near_dup")
+        return pd.concat([exact, nd], ignore_index=True)
+
+    out = _round(
+        _to_table(tagged.map_batches(emit_both, batch_format="pandas")),
+        {"alpha_ratio": 4},
     )
+    return out.select(["mode", "doc_id", "n_tokens", "alpha_ratio"])
 
 
 Q_CURATE_DOCUMENTS_ALL_SQL = f"""

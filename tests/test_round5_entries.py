@@ -236,7 +236,9 @@ class TestConsolidatedEntries:
     def test_curate_documents_union(self, ray_session):
         from jochre3_ocr_ray.pipelines.curate import (
             Q_CURATE_DOCUMENTS_ALL_SQL,
+            q_curate_documents,
             q_curate_documents_all,
+            q_curate_documents_near_dup,
         )
 
         got = q_curate_documents_all(SF).to_pandas()
@@ -246,6 +248,15 @@ class TestConsolidatedEntries:
         n_ex = (got["mode"] == "exact").sum()
         n_nd = (got["mode"] == "near_dup").sum()
         assert 0 < n_nd <= n_ex
+        # the one-stream fusion equals the two standalone variants
+        ex = q_curate_documents(SF).to_pandas()
+        nd = q_curate_documents_near_dup(SF).to_pandas()
+        assert set(got.loc[got["mode"] == "exact", "doc_id"]) == set(
+            ex["doc_id"]
+        )
+        assert set(got.loc[got["mode"] == "near_dup", "doc_id"]) == set(
+            nd["doc_id"]
+        )
 
 
 class TestDegenerateCorpora:
