@@ -449,10 +449,7 @@ def minhash_verified_pairs_bucketed(
         # the pool and huge ones bound per-bucket memory
         import math
 
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 8))
-        except Exception:  # noqa: BLE001
-            cpus = 8
+        cpus = _cluster_cpus()
         banded_bytes = (ds.size_bytes() or 0) * _BANDS
         num_parts = max(
             max(8, cpus),
@@ -525,10 +522,7 @@ def q_dedup_minhash(
     happens on the materialized result. The read gets one block per
     CPU: banding is the compute-heavy stage and the default small-file
     block cap (8) leaves 3/4 of the pool idle."""
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
+    cpus = _cluster_cpus()
     from ..sources.reader import read_parquet_clean
 
     ds = read_parquet_clean(
@@ -559,6 +553,22 @@ def _resolve_max_df(max_df, n_docs: "int | None") -> "int | None":
     if max_df is None or isinstance(max_df, int):
         return max_df
     return max(NGRAM_AUTO_MAX_DF_FLOOR, (n_docs or 0) // 100)
+
+
+def _cluster_cpus(default: int = 8) -> int:
+    """Best-effort cluster CPU count (``default`` when Ray isn't up)."""
+    try:
+        return int(ray.cluster_resources().get("CPU", default))
+    except Exception:  # noqa: BLE001
+        return default
+
+
+def _default_nparts() -> int:
+    """Partition count for the raw-task ``_exchange`` hash
+    aggregations: half the pool (each partition runs one combiner
+    task; the split tasks fill the rest), floor 2. The ONE policy
+    every exchange shares — change it here, not per call site."""
+    return max(2, _cluster_cpus() // 2)
 
 
 _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
@@ -910,11 +920,7 @@ def ngram_exact_pairs_counted(
     # combiner per partition): two Dataset groupbys paid their
     # multi-second global-sort cost each for what are pure hash
     # aggregations (measured 7-9.5 s -> ~1.5 s for the q at sf0.1)
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    nparts = max(2, cpus // 2)
+    nparts = _default_nparts()
     refs = inverted.materialize().to_arrow_refs()
     pair_refs = _exchange(refs, "shingle", nparts, bucket_pairs)
     final_refs = _exchange(pair_refs, "pk", nparts, count_and_filter)
@@ -1091,11 +1097,7 @@ def q_dedup_simhash(
             preserve_index=False,
         )
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
-    nparts = max(2, cpus // 2)
+    nparts = _default_nparts()
     refs = banded.materialize().to_arrow_refs()
     pair_refs = _exchange(refs, "seg", nparts, bucket_pairs)
     final_refs = _exchange(pair_refs, "pk", nparts, dedup_pairs)
@@ -1653,8 +1655,11 @@ WITH RECURSIVE aug AS (
   WHERE vec_id < {_LSH_PLANT_COUNT}
 ),
 cents AS (
+  -- the k SMALLEST ids (the driver's seed rule), not vec_id < k: the
+  -- plants sit at +offset, so base-table smallest == augmented smallest,
+  -- and this stays correct for sparse / offset id spaces
   SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-  WHERE vec_id < {SEMANTIC_Q_K}
+  ORDER BY vec_id LIMIT {SEMANTIC_Q_K}
 ),
 assign AS (
   SELECT id, cid FROM (
@@ -1696,8 +1701,11 @@ SELECT m.id,
        m.cid,
        (COALESCE(r.rep, m.id) = m.id) AS keep,
        COALESCE(r.rep, m.id) AS rep_id,
+       -- ROUND twice (6 then 4): the driver rounds max_sim to 6
+       -- decimals inside semantic_dedup and then to 4 in the q layer;
+       -- single-rounding can differ at a 4th-decimal midpoint
        CASE WHEN COALESCE(ms.max_sim, 0.0) >= {EMBED_THRESHOLD}
-            THEN ROUND(ms.max_sim, 4) ELSE -1.0 END AS dup_sim
+            THEN ROUND(ROUND(ms.max_sim, 6), 4) ELSE -1.0 END AS dup_sim
 FROM members m
 LEFT JOIN roots r ON r.id = m.id
 LEFT JOIN msim ms ON ms.id = m.id
@@ -1769,12 +1777,8 @@ def duplicated_window_hashes(
             {"h": pa.array(uniq[sums >= 2].astype(np.int64), type=pa.int64())}
         )
 
-    try:
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-    except Exception:  # noqa: BLE001
-        cpus = 8
     refs = counts.materialize().to_arrow_refs()
-    part_refs = _exchange(refs, "h", max(2, cpus // 2), dups_only)
+    part_refs = _exchange(refs, "h", _default_nparts(), dups_only)
     return ray.data.from_arrow_refs(part_refs)
 
 
@@ -1903,7 +1907,7 @@ def exact_substring_dedup(
             batch_format="pyarrow",
         ),
         join_type="inner",
-        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+        num_partitions=_default_nparts(),
         on=("h",),
     )
 
@@ -1925,7 +1929,7 @@ def exact_substring_dedup(
     joined = ds.join(
         per_doc,
         join_type="left_outer",
-        num_partitions=max(2, int(ray.cluster_resources().get("CPU", 8)) // 2),
+        num_partitions=_default_nparts(),
         on=(id_col,),
         right_on=("id",),
     )
@@ -1962,8 +1966,8 @@ def q_dedup_exact_substring(
 ) -> pa.Table:
     """Driver entry for ExactSubstr dedup (broadcast mode; the
     positions-mode equality is pytest-pinned). The q window is 8
-    tokens — the production default of {EXACTSUBSTR_WINDOW} (Lee et
-    al.'s 50-token analog) would be vacuous on this corpus's 10-99
+    tokens — the production default of 50 (``EXACTSUBSTR_WINDOW``,
+    Lee et al.'s span length) would be vacuous on this corpus's 10-99
     token docs, while 8-token spans duplicated >= 2x exist via the
     planted exact/near dups. The SQL oracle recomputes the semantics
     from token STRINGS (windowed string_agg + global count + interval

@@ -279,6 +279,30 @@ def q_curate_documents_near_dup(sf_dir: str) -> pa.Table:
     only the CLUSTERED survivors (tiny) come to the driver to pick
     keepers; the final filter streams again with the keeper set
     broadcast. The corpus itself never materializes."""
+    tagged, keepers = _cluster_tagged_curation(sf_dir)
+    import ray
+
+    keep_ref = ray.put(keepers)
+
+    def prune(batch: pd.DataFrame) -> pd.DataFrame:
+        ks = ray.get(keep_ref)
+        mask = (batch["cluster_id"] < 0) | batch["doc_id"].isin(ks)
+        return batch.loc[mask, ["doc_id", "n_tokens", "alpha_ratio"]]
+
+    out = _to_table(tagged.map_batches(prune, batch_format="pandas"))
+    return _round(out, {"alpha_ratio": 4})
+
+
+def _cluster_tagged_curation(sf_dir: str):
+    """Shared machinery of the near-dup curation variants: curate ->
+    tag every row with its near-dup cluster id (broadcast map, -1 =
+    unclustered) -> pick per-cluster canonical keepers AMONG THE
+    CURATED SURVIVORS (not the corpus-wide min id — a cluster whose
+    global canonical doc was quality-filtered away keeps its smallest
+    surviving member instead). Returns the MATERIALIZED tagged
+    dataset (a tiny 5-scalar-column table — materializing avoids
+    re-running the curation lineage for each downstream consumer) and
+    the keeper id set."""
     import ray
 
     from ..ops.dedup import q_dedup_clusters
@@ -297,7 +321,7 @@ def q_curate_documents_near_dup(sf_dir: str) -> pa.Table:
         batch["cluster_id"] = [m.get(int(d), -1) for d in batch["doc_id"]]
         return batch
 
-    tagged = kept.map_batches(tag, batch_format="pandas")
+    tagged = kept.map_batches(tag, batch_format="pandas").materialize()
     clustered = _to_table(
         tagged.map_batches(
             lambda b: b[b["cluster_id"] >= 0], batch_format="pandas"
@@ -309,15 +333,7 @@ def q_curate_documents_near_dup(sf_dir: str) -> pa.Table:
         )
     else:
         keepers = set()
-    keep_ref = ray.put(keepers)
-
-    def prune(batch: pd.DataFrame) -> pd.DataFrame:
-        ks = ray.get(keep_ref)
-        mask = (batch["cluster_id"] < 0) | batch["doc_id"].isin(ks)
-        return batch.loc[mask, ["doc_id", "n_tokens", "alpha_ratio"]]
-
-    out = _to_table(tagged.map_batches(prune, batch_format="pandas"))
-    return _round(out, {"alpha_ratio": 4})
+    return tagged, keepers
 
 
 def _curate_near_dup_sql() -> str:
@@ -369,43 +385,17 @@ def q_curate_documents_all(sf_dir: str) -> pa.Table:
     own independent SQL ground truth.
 
     Fused execution: the curated corpus streams ONCE through one
-    cluster-tagging pass, and a single map emits the exact rows plus
-    the pruned near-dup rows (the standalone ``q_curate_documents`` /
-    ``q_curate_documents_near_dup`` would run the curation stream
-    twice; their outputs are equality-pinned against this fusion in
-    TestConsolidatedEntries). The corpus never materializes — only
-    the tiny CLUSTERED subset comes to the driver to pick keepers,
-    exactly as in the standalone near-dup variant."""
+    cluster-tagging pass (``_cluster_tagged_curation`` — materialized
+    as a tiny scalar table so the curation lineage runs once, not per
+    consumer), and a single map emits the exact rows plus the pruned
+    near-dup rows (their outputs are equality-pinned against the
+    standalone ``q_curate_documents`` / ``q_curate_documents_near_dup``
+    in TestConsolidatedEntries). Only the tiny CLUSTERED subset comes
+    to the driver to pick keepers, exactly as in the standalone
+    near-dup variant."""
     import ray
 
-    from ..ops.dedup import q_dedup_clusters
-
-    clusters = q_dedup_clusters(sf_dir).to_pandas()
-    cluster_map = dict(
-        zip(clusters["doc_id"].astype(int), clusters["cluster_id"].astype(int))
-    )
-    map_ref = ray.put(cluster_map)
-
-    kept = curated_dataset(sf_dir)
-
-    def tag(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ray.get(map_ref)
-        batch = batch.copy()
-        batch["cluster_id"] = [m.get(int(d), -1) for d in batch["doc_id"]]
-        return batch
-
-    tagged = kept.map_batches(tag, batch_format="pandas")
-    clustered = _to_table(
-        tagged.map_batches(
-            lambda b: b[b["cluster_id"] >= 0], batch_format="pandas"
-        )
-    ).to_pandas()
-    if len(clustered):
-        keepers = set(
-            clustered.groupby("cluster_id")["doc_id"].min().astype(int)
-        )
-    else:
-        keepers = set()
+    tagged, keepers = _cluster_tagged_curation(sf_dir)
     keep_ref = ray.put(keepers)
 
     cols = ["doc_id", "n_tokens", "alpha_ratio"]

@@ -56,6 +56,12 @@ def main() -> int:
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     failures = 0
+    if ONLY:
+        unknown = [n for n in ONLY if n not in queries]
+        if unknown:
+            # a silently-skipped filter name reads as "verified" — fail
+            print(f"FAIL unknown query name(s): {unknown} — copy from queries()")
+            failures += len(unknown)
     for name, fn in queries.items():
         if ONLY and name not in ONLY:
             continue
